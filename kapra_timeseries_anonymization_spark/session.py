@@ -1,0 +1,71 @@
+"""SparkSession construction with the engine's recommended conf.
+
+Scale stance: these defaults are tuned for local[N] testing but every knob
+is the one you would set on a 1000-executor cluster too — AQE on (runtime
+shuffle-partition coalescing + skew-join splitting), Arrow on (all kernels
+are pandas-UDF based), and explicit shuffle partition counts sized to the
+parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors.
+
+    Local equivalent of ``spark-submit --py-files kapra_....zip``: zip the
+    package once and register it via ``addPyFile`` so pandas-UDF workers can
+    import the kernels. Idempotent per session.
+    """
+    if getattr(spark, "_kapra_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            "kapra_timeseries_anonymization_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=parent,
+                            base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._kapra_pkg_shipped = True
+
+
+def build_session(
+    app_name: str = "kapra-ts-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N]: one shuffle partition per core keeps every stage wide
+        # without tiny-task overhead. On a real cluster this is set to
+        # ~2-3x total executor cores (AQE coalesces down at runtime).
+        n = master[master.index("[") + 1 : -1] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
