@@ -29,10 +29,10 @@ def ship_package(spark: SparkSession) -> None:
     parent = os.path.dirname(pkg_dir)
     zip_base = os.path.join(tempfile.gettempdir(),
                             "kapra_timeseries_anonymization_spark_pkg")
-    zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
-        shutil.make_archive(zip_base, "zip", root_dir=parent,
-                            base_dir=os.path.basename(pkg_dir))
+    # always rebuild: the archive is tiny and a stale zip would ship old
+    # kernel code to the workers
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=parent,
+                                   base_dir=os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
     spark._kapra_pkg_shipped = True
 

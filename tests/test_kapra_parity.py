@@ -1,0 +1,98 @@
+"""Exactness gate: the distributed KAPRA pipeline must equal the validated
+numpy oracle — group assignments exact, envelopes exact, loss metrics to
+1e-9, and even the reference's output row order reproducible."""
+
+import numpy as np
+import pytest
+
+from kapra_timeseries_anonymization_spark.operators.kapra import kapra_anonymize
+from tests.oracle.legacy_dataset import generate_legacy_dataset, series_matrix
+from tests.oracle.reference_impl import kapra_pipeline
+
+
+def _to_spark(spark, series):
+    rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(series)]
+    return spark.createDataFrame(rows, "original_index long, values array<double>")
+
+
+CONFIGS = [
+    # (n_rows, seed, K, P, sax_level) — includes suppression / '*' paths
+    (3000, 42, 8, 2, 8),
+    (256, 2, 10, 3, 10),
+    (64, 1, 5, 3, 5),
+    (200, 7, 20, 8, 3),  # sax_level == 3: no recycle passes at all
+]
+
+
+@pytest.mark.parametrize("n_rows,seed,K,P,sax_level", CONFIGS)
+def test_kapra_spark_matches_oracle(spark, n_rows, seed, K, P, sax_level):
+    df = generate_legacy_dataset(n_rows, seed=seed)
+    series = series_matrix(df).astype(np.float64)
+
+    oracle = kapra_pipeline(series, K=K, P=P, sax_level=sax_level)
+    got = kapra_anonymize(
+        _to_spark(spark, series), K=K, P=P, sax_level=sax_level, t=8
+    )
+
+    # record -> (group_id, pattern, level) must match EXACTLY
+    rows = {
+        r["original_index"]: r
+        for r in got.records.select(
+            "original_index", "group_id", "pattern", "level", "pl"
+        ).collect()
+    }
+    assert len(rows) == len(oracle.record_index)
+    for ridx, gid, pat, lvl, pl in zip(
+        oracle.record_index, oracle.group_id, oracle.pattern, oracle.level,
+        oracle.pl,
+    ):
+        r = rows[ridx]
+        assert r["group_id"] == gid, f"record {ridx} group mismatch"
+        assert r["pattern"] == pat
+        assert r["level"] == lvl
+        assert abs(r["pl"] - pl) < 1e-9
+
+    # per-group envelopes exact, VL exact
+    assert len(got.groups) == len(got.groups)
+    assert len(got.groups) == len(oracle.group_vl)
+    for g, lo, hi, vl in zip(
+        got.groups, oracle.group_lower, oracle.group_upper, oracle.group_vl
+    ):
+        np.testing.assert_array_equal(g["lower"], lo)
+        np.testing.assert_array_equal(g["upper"], hi)
+        assert g["vl"] == vl
+
+    # metrics
+    assert abs(got.avg_vl - oracle.avg_vl) < 1e-9
+    assert abs(got.avg_pl - oracle.avg_pl) < 1e-9
+    assert got.n_suppressed == len(oracle.suppressed)
+
+    # exact output row order (reference CSV order)
+    ordered = [
+        r["original_index"]
+        for r in got.records.orderBy("group_id", "p_order", "okey")
+        .select("original_index")
+        .collect()
+    ]
+    assert ordered == oracle.record_index
+
+
+def test_kapra_partition_invariance(spark):
+    """Group assignments must not depend on physical row order/partitioning."""
+    df = generate_legacy_dataset(300, seed=3)
+    series = series_matrix(df).astype(np.float64)
+    sdf = _to_spark(spark, series)
+
+    a = kapra_anonymize(sdf.repartition(7), K=8, P=2, sax_level=8, t=8,
+                        compute_pl=False)
+    b = kapra_anonymize(sdf.coalesce(1), K=8, P=2, sax_level=8, t=8,
+                        compute_pl=False)
+    rows_a = sorted(
+        (r["original_index"], r["group_id"], r["pattern"], r["level"])
+        for r in a.records.collect()
+    )
+    rows_b = sorted(
+        (r["original_index"], r["group_id"], r["pattern"], r["level"])
+        for r in b.records.collect()
+    )
+    assert rows_a == rows_b
