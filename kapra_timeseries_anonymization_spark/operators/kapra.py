@@ -4,37 +4,37 @@ Semantics: exact match to the reference pipeline
 (/root/reference/src/kapra_anonymization.py:46-333):
 
 - Phase 1: SAX at max level, hash-group, split good (>= P) / bad.
-- Phase 2: recycle bad records at decreasing levels (floor 3); leftover
-  residue becomes one '*' group if >= P, else is suppressed.
+- Phase 2: recycle bad records at decreasing levels (floor 3, code wins
+  over docs); leftover residue becomes one '*' group if >= P, else is
+  suppressed.
 - Phase 3: greedy min-VL merge of P-groups until all >= K, with the
   reference's exact ordering semantics (stable sort by size, first-min
   argmin, domination ties -> partner, pop/append list order).
 
-Spark-first architecture (SURVEY §7):
+Spark-first architecture — "reduce to pattern space, orchestrate in
+pattern space, broadcast back":
 
-- SAX at *all* levels is computed in ONE vectorized pandas-UDF pass
-  (z-norm + PAA once per record), instead of the reference's per-level
-  recompute — the recycle loop then never touches Python again.
-- The recycle loop is a bounded driver loop (<= sax_level-2 passes) over a
-  shrinking DataFrame; each pass is one window aggregation keyed by the
-  precomputed SAX word. Only counts decide; no data is collected.
-- Phase 3 collects ONLY compact per-P-group envelope summaries
-  (count, lower[T], upper[T]) — O(G*T) driver memory, G = #patterns << N.
-  This is exact because merge cost = VL of the combined group, VL depends
-  only on the envelope, and envelopes merge by elementwise min/max
-  (min/max semilattice). The greedy loop runs vectorized numpy argmin per
-  round; the resulting p-group -> k-group map is broadcast-joined back.
-- Record order parity: the reference's dict-insertion / list-concatenation
-  ordering is tracked with an `okey` column (array<long>, lexicographic),
-  prepended with the group-min key at each recycle pass — so even the
-  exact output row order is reproducible without ever sorting raw data on
-  the driver.
+1. ONE vectorized pandas-UDF pass computes the SAX word at *every* level
+   (z-norm + PAA once per record) -> `sax_vec` column.
+2. ONE map-side-combinable aggregation groups records by their full
+   `sax_vec` into pattern *combos*: (count, min_index, envelope lo/hi).
+   Records with identical sax vectors can never be separated by any phase
+   of the reference algorithm, so combos are a lossless reduction. Shuffle
+   volume is O(C * T) where C = #distinct vectors (bounded by the cross
+   product of breakpoint cells, in practice << N) — not O(N).
+3. The recycle loop and the greedy merge run on the DRIVER over the C
+   combo summaries, replaying the reference's dict-insertion order, stable
+   sorts and strict-< argmin exactly (tuple keys simulate the reference's
+   record-list ordering; a combo's records are contiguous in it).
+4. A tiny (vector -> group assignment) map is broadcast-joined back; the
+   only per-record Python after step 1 is the pattern-loss UDF.
 
-Scale: the only driver-side state is G envelope summaries; everything else
-is shuffles keyed by SAX word (bounded cardinality <= level^n_segments) and
-one broadcast map-back join. At 100 TB the heavy stages are the initial UDF
-scan (embarrassingly parallel) and one window/groupBy per recycle pass over
-a geometrically shrinking bad set.
+At 100 TB this is: one UDF scan (embarrassingly parallel), one tiny
+combined shuffle, one broadcast join — no iteration ever touches the data.
+Driver state is O(C * (T + levels)); if C ever approached N (near-unique
+PAA cells) the combo table itself is the fallback unit of distribution,
+but with SAX alphabets <= 20 and 4 segments C is bounded by the joint
+breakpoint-cell count (28^4 for levels 3..8).
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.sax_udfs import make_sax_levels_udf, pattern_loss_udf
@@ -55,9 +55,9 @@ class KapraGroups:
     """Result of the KAPRA pipeline.
 
     ``records``: one row per surviving input record with columns
-      (<index_col>, group_id, pattern, level, pl, lower, upper, vl,
-       p_order, okey) — order by (group_id, p_order, okey) to reproduce the
-      reference's exact output row order.
+      (original_index, group_id, pattern, level, values, lower, upper, vl,
+       pl, p_order, c_order) — order by (group_id, p_order, c_order,
+      original_index) to reproduce the reference's exact output row order.
     ``groups``: driver-side list in GroupID order:
       dicts with sax, level, count, lower, upper, vl.
     """
@@ -69,8 +69,19 @@ class KapraGroups:
     n_suppressed: int
 
 
-def _pgid(level_col, sax_col):
-    return F.concat_ws(":", level_col.cast("string"), sax_col)
+class _Combo:
+    __slots__ = ("vec", "count", "min_idx", "lo", "hi", "chain")
+
+    def __init__(self, vec, count, min_idx, lo, hi):
+        self.vec = vec
+        self.count = count
+        self.min_idx = min_idx
+        self.lo = lo
+        self.hi = hi
+        # per-pass bad-group rank chain: the bad_records list is rebuilt
+        # each pass (most recent group rank dominates), so a record's
+        # position at formation is (reversed(chain), idx) lexicographically
+        self.chain: tuple = ()
 
 
 def kapra_anonymize(
@@ -96,100 +107,81 @@ def kapra_anonymize(
             F.col(index_col).cast("long").alias("original_index"),
             F.col(values_col).alias("values"),
         )
-        .withColumn("sax_arr", sax_udf(F.col("values")))
-        .withColumn("okey", F.array(F.col("original_index")))
+        .withColumn("sax_vec", sax_udf(F.col("values")))
+        .withColumn("combo_key", F.concat_ws("\x1f", F.col("sax_vec")))
+        .persist()
     )
 
-    # ---- Phases 1+2: bounded recycle loop (driver controls, data stays out)
-    assigned: list[DataFrame] = []
-    remaining = base.persist()
-    n_remaining = remaining.count()
-    pass_idx = 0
-    to_unpersist = [remaining]
-    for level in range(sax_level, 2, -1):
-        if n_remaining == 0:
-            break
-        w = Window.partitionBy("sax")
-        cur = (
-            remaining.withColumn("sax", F.col("sax_arr").getItem(level - 3))
-            .withColumn("_cnt", F.count(F.lit(1)).over(w))
-            .withColumn("_gkey", F.min("okey").over(w))
-        )
-        good = cur.filter(F.col("_cnt") >= P).select(
-            "original_index",
-            "values",
-            "okey",
-            "sax",
-            F.lit(level).alias("level"),
-            F.lit(pass_idx).alias("pass_idx"),
-            F.col("_gkey").alias("gkey"),
-            F.col("sax").alias("p_sax"),
-            F.lit(level).alias("p_level"),
-        )
-        assigned.append(good)
-        remaining = (
-            cur.filter(F.col("_cnt") < P)
-            .withColumn("okey", F.concat(F.col("_gkey"), F.col("okey")))
-            .select("original_index", "values", "sax_arr", "okey",
-                    F.col("sax").alias("last_sax"))
-            .persist()
-        )
-        n_remaining = remaining.count()
-        to_unpersist.append(remaining)
-        pass_idx += 1
-
-    n_suppressed = 0
-    if n_remaining > 0:
-        if n_remaining >= P:
-            # '*' residue group (symbolic level 0); records keep their
-            # last-pass sax/level metadata (= level of the final pass run).
-            last_level = max(3, sax_level - pass_idx)
-            residue = remaining.select(
-                "original_index",
-                "values",
-                "okey",
-                F.col("last_sax").alias("sax"),
-                F.lit(last_level).alias("level"),
-                F.lit(10**6).alias("pass_idx"),
-                F.array(F.lit(-1).cast("long")).alias("gkey"),
-                F.lit("*").alias("p_sax"),
-                F.lit(0).alias("p_level"),
-            )
-            assigned.append(residue)
-        else:
-            n_suppressed = n_remaining
-
-    if not assigned:
-        raise ValueError("no records survived P-grouping")
-
-    tagged = assigned[0]
-    for part in assigned[1:]:
-        tagged = tagged.unionByName(part)
-    tagged = tagged.withColumn("p_gid", _pgid(F.col("p_level"), F.col("p_sax")))
-    tagged = tagged.persist()
-
-    # ---- P-group envelope summaries (exact, tiny): collect to driver
-    summaries = (
-        envelope_agg(tagged, ["p_gid", "p_sax", "p_level", "pass_idx"],
-                     "values", t, with_vl=False)
+    # ---- lossless reduction to pattern space (one combined shuffle)
+    combo_rows = (
+        envelope_agg(base, ["combo_key", "sax_vec"], "values", t, with_vl=False)
         .join(
-            tagged.groupBy("p_gid").agg(F.min("gkey").alias("gkey")), "p_gid"
+            base.groupBy("combo_key").agg(
+                F.min("original_index").alias("min_idx")
+            ),
+            "combo_key",
         )
         .collect()
     )
-    summaries.sort(key=lambda r: (r["pass_idx"], tuple(r["gkey"])))
+    combos = [
+        _Combo(list(r["sax_vec"]), int(r["count"]), int(r["min_idx"]),
+               np.asarray(r["lower"], dtype=np.float64),
+               np.asarray(r["upper"], dtype=np.float64))
+        for r in combo_rows
+    ]
+    # reference record order is original_index asc; combos inherit the
+    # order of their first record
+    combos.sort(key=lambda c: c.min_idx)
 
-    # ---- Phase 3: reference-exact greedy merge on summaries (driver)
+    # ---- Phases 1+2 on combos (driver; replays reference ordering exactly)
+    p_groups: list[dict] = []
+    bad = combos
+    for pass_idx, level in enumerate(range(sax_level, 2, -1)):
+        if not bad:
+            break
+        groups: dict[str, list[_Combo]] = {}
+        for c in bad:
+            groups.setdefault(c.vec[level - 3], []).append(c)
+        # list order below replays the reference's bad_records ordering at
+        # combo granularity (dict insertion order; in-group order preserved)
+        new_bad: list[_Combo] = []
+        for g_rank, (word, cs) in enumerate(groups.items()):
+            total = sum(c.count for c in cs)
+            if total >= P:
+                p_groups.append(
+                    {"sax": word, "level": level, "members": cs, "count": total}
+                )
+            else:
+                for c in cs:
+                    c.chain = c.chain + (g_rank,)
+                new_bad.extend(cs)
+        bad = new_bad
+
+    n_suppressed = 0
+    if bad:
+        n_bad = sum(c.count for c in bad)
+        if n_bad >= P:
+            # '*' residue group; records keep their last-pass metadata
+            # (level-3 word) — reference kapra_anonymization.py:163-169
+            p_groups.append(
+                {"sax": "*", "level": 0, "members": bad, "count": n_bad}
+            )
+        else:
+            n_suppressed = n_bad
+
+    if not p_groups:
+        raise ValueError("no records survived P-grouping")
+
+    # attach envelopes to p-groups (exact: elementwise min/max of combos)
+    for g in p_groups:
+        g["lo"] = np.minimum.reduce([c.lo for c in g["members"]])
+        g["hi"] = np.maximum.reduce([c.hi for c in g["members"]])
+
+    # ---- Phase 3: reference-exact greedy merge (driver, vectorized argmin)
     groups = [
-        {
-            "sax": r["p_sax"],
-            "level": int(r["p_level"]),
-            "count": int(r["count"]),
-            "lo": np.asarray(r["lower"], dtype=np.float64),
-            "hi": np.asarray(r["upper"], dtype=np.float64),
-            "members": [r["p_gid"]],
-        }
-        for r in summaries
+        {"sax": g["sax"], "level": g["level"], "count": g["count"],
+         "lo": g["lo"], "hi": g["hi"], "pgs": [g]}
+        for g in p_groups
     ]
     while True:
         invalid = [i for i, g in enumerate(groups) if g["count"] < K]
@@ -206,7 +198,7 @@ def kapra_anonymize(
         costs[idx] = math.inf
         best = int(np.argmin(costs))  # first minimum == reference strict-<
         if not math.isfinite(costs[best]):
-            break  # no mergeable partner (reference: best_partner_idx == -1)
+            break  # no partner (reference: best_partner_idx == -1)
         partner = groups[best]
         if partner["count"] >= g["count"]:
             dom_sax, dom_level = partner["sax"], partner["level"]
@@ -218,46 +210,61 @@ def kapra_anonymize(
             "count": g["count"] + partner["count"],
             "lo": mlo[best],
             "hi": mhi[best],
-            "members": g["members"] + partner["members"],
+            "pgs": g["pgs"] + partner["pgs"],
         }
         i1, i2 = sorted([idx, best], reverse=True)
         groups.pop(i1)
         groups.pop(i2)
         groups.append(merged)
 
-    # finalize groups: GroupID = position+1, exact VL from merged envelope
-    out_groups = []
-    mapping_rows = []
-    for gid0, g in enumerate(groups):
-        diff = g["hi"] - g["lo"]
+    # ---- finalize: GroupID = position+1; broadcast assignment map back
+    out_groups: list[dict] = []
+    mapping_rows: list[tuple] = []
+    for gid0, kg in enumerate(groups):
+        diff = kg["hi"] - kg["lo"]
         vl = math.sqrt(float(np.sum(diff**2)) / t)
         out_groups.append(
-            {"sax": g["sax"], "level": g["level"], "count": g["count"],
-             "lower": g["lo"], "upper": g["hi"], "vl": vl}
+            {"sax": kg["sax"], "level": kg["level"], "count": kg["count"],
+             "lower": kg["lo"], "upper": kg["hi"], "vl": vl}
         )
-        for p_order, p_gid in enumerate(g["members"]):
-            mapping_rows.append(
-                (p_gid, gid0 + 1, p_order, [float(x) for x in g["lo"]],
-                 [float(x) for x in g["hi"]], vl)
-            )
+        lo_l = [float(x) for x in kg["lo"]]
+        hi_l = [float(x) for x in kg["hi"]]
+        for p_order, pg in enumerate(kg["pgs"]):
+            # within-p-group record order = (chain, original_index); equal
+            # chains interleave by index, so c_order is the DENSE rank of
+            # the chain among this p-group's combos
+            # the bad list is rebuilt every pass, so the most recent pass's
+            # group rank dominates: compare chains REVERSED
+            chain_rank = {
+                ch: i
+                for i, ch in enumerate(
+                    sorted({c.chain for c in pg["members"]},
+                           key=lambda ch: ch[::-1])
+                )
+            }
+            # record metadata: the word/level at p-group formation; for the
+            # '*' group, each combo's level-3 word at level 3
+            for c in pg["members"]:
+                c_order = chain_rank[c.chain]
+                if pg["level"] == 0:
+                    r_sax, r_level = c.vec[0], 3
+                else:
+                    r_sax, r_level = pg["sax"], pg["level"]
+                mapping_rows.append(
+                    ("\x1f".join(c.vec), gid0 + 1, p_order, c_order,
+                     r_sax, r_level, lo_l, hi_l, vl)
+                )
 
     mapping = spark.createDataFrame(
         mapping_rows,
-        "p_gid string, group_id int, p_order int, lower array<double>, "
+        "combo_key string, group_id int, p_order int, c_order int, "
+        "pattern string, level int, lower array<double>, "
         "upper array<double>, vl double",
     )
 
-    records = tagged.join(F.broadcast(mapping), "p_gid").select(
-        "original_index",
-        "group_id",
-        F.col("sax").alias("pattern"),
-        "level",
-        "values",
-        "lower",
-        "upper",
-        "vl",
-        "p_order",
-        "okey",
+    records = base.join(F.broadcast(mapping), "combo_key").select(
+        "original_index", "group_id", "pattern", "level", "values",
+        "lower", "upper", "vl", "p_order", "c_order",
     )
     if compute_pl:
         records = records.withColumn(
@@ -272,8 +279,5 @@ def kapra_anonymize(
         avg_pl = (row["s"] or 0.0) / row["c"] if row["c"] else 0.0
     else:
         avg_pl = float("nan")
-
-    for p in to_unpersist:
-        p.unpersist()
 
     return KapraGroups(records, out_groups, avg_vl, avg_pl, n_suppressed)

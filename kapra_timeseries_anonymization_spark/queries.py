@@ -1,0 +1,455 @@
+"""Driver-contract query registry: name -> (spark_fn, oracle_sql).
+
+Every SQL-expressible operator from SURVEY §2 plus the training-data
+pipeline operators gets an entry here; `__spark_entry__.py` re-exports the
+registry. Conventions (driver compares row-count + schema + order-
+insensitive value hash, sorting columns by NAME):
+
+- alias every computed column identically in Spark and SQL;
+- round float aggregates (money sums -> 2dp, ratios/avgs -> 4-6dp) so
+  accumulation-order ulp differences between engines can't flip the hash;
+- cast time buckets to 'yyyy-MM-dd HH:mm:ss' strings (engine-neutral);
+- cast counts to bigint explicitly (DuckDB sum(int) would widen to
+  HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.derive import epoch_sec, gap_fill, user_activity_series
+from .operators.kapra import kapra_anonymize
+from .operators.rollup import cascade
+from .sources.tables import read_table
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _ts_str(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Relational core on the TPC-H-ish tables (S1-S4, A4-A6, O1-O7, J-ops)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(avg(l_quantity), 6)                              AS avg_qty,
+           round(avg(l_discount), 6)                              AS avg_disc,
+           count(*)::BIGINT                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = read_table(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_segment_revenue",
+    """
+    SELECT c.c_mktsegment                                          AS mktsegment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)   AS revenue,
+           count(DISTINCT o.o_orderkey)::BIGINT                    AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q3_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    # customer and orders are dims vs lineitem: broadcast the small side
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q_top10_orders",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top10_orders(spark: SparkSession, sf: str) -> DataFrame:
+    l = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q_kanon_check",
+    """
+    SELECT (min(cnt) >= 8) AS is_k_anon, count(*)::BIGINT AS n_groups
+    FROM (SELECT c_nationkey, c_mktsegment, count(*) cnt
+          FROM customer GROUP BY 1, 2)
+    """,
+)
+def q_kanon_check(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: k-anonymity checker (reference k_anon.py:10-20) on QI columns."""
+    c = read_table(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .agg(
+            (F.min("count") >= 8).alias("is_k_anon"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series core on events (rollups, cascade tiers, gap-fill, latency)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+    SELECT event_type,
+           strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*)::BIGINT        AS n,
+           round(sum(value), 4)    AS sum_value,
+           round(min(value), 6)    AS min_value,
+           round(max(value), 6)    AS max_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _spark_cascade(spark, sf):
+    ev = read_table(spark, sf, "events")
+    return cascade(ev, ["event_type"], "ts", "value")
+
+
+def _tier_out(df):
+    return df.select(
+        "event_type",
+        _ts_str(F.col("bucket")).alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@q("events_rollup_1m", _ROLLUP_SQL.format(unit="minute"))
+def events_rollup_1m(spark, sf):
+    return _tier_out(_spark_cascade(spark, sf)["1m"])
+
+
+@q("events_rollup_1h_cascade", _ROLLUP_SQL.format(unit="hour"))
+def events_rollup_1h_cascade(spark, sf):
+    """1h tier computed FROM the 1m tier — oracle computes direct-from-raw,
+    proving tier-cascade exactness (rollup consistency)."""
+    return _tier_out(_spark_cascade(spark, sf)["1h"])
+
+
+@q("events_rollup_1d_cascade", _ROLLUP_SQL.format(unit="day"))
+def events_rollup_1d_cascade(spark, sf):
+    return _tier_out(_spark_cascade(spark, sf)["1d"])
+
+
+@q(
+    "events_gapfill_hourly",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(b) lo, max(b) hi FROM h GROUP BY 1),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(h.n, 0)::BIGINT AS n
+    FROM spine s LEFT JOIN h ON s.event_type = h.event_type AND s.b = h.b
+    """,
+)
+def events_gapfill_hourly(spark, sf):
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    filled = gap_fill(hourly, ["event_type"], "bucket", 3600, fill_zero=["n"])
+    return filled.select(
+        "event_type",
+        _ts_str(F.col("bucket")).alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@q(
+    "events_latency_stats",
+    """
+    WITH d AS (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT            AS n_events,
+           round(avg(gap), 4)          AS avg_gap_sec,
+           round(max(gap), 4)          AS max_gap_sec
+    FROM d GROUP BY user_id
+    """,
+)
+def events_latency_stats(spark, sf):
+    """Inter-event latency via lag over a stable (ts, event_id) order —
+    the transcript latency derivation (SURVEY §2.8) on the stand-in table."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_sec("ts") - F.lag(epoch_sec("ts")).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_sec"),
+            F.round(F.max("gap"), 4).alias("max_gap_sec"),
+        )
+    )
+
+
+@q(
+    "events_sessions",
+    """
+    WITH d AS (
+        SELECT user_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                   THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, (1 + sum(new_session))::BIGINT AS n_sessions
+    FROM d GROUP BY user_id
+    """,
+)
+def events_sessions(spark, sf):
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_sec("ts") - F.lag(epoch_sec("ts")).over(w)
+    return (
+        ev.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((1 + F.sum("new_session")).cast("long").alias("n_sessions"))
+    )
+
+
+@q(
+    "events_activity_envelope",
+    """
+    WITH lohi AS (SELECT epoch(min(ts)) AS lo, epoch(max(ts)) AS hi FROM events),
+    b AS (
+        SELECT user_id,
+               least(floor((epoch(ts) - lo) / (hi - lo) * 8), 7)::INT AS pos,
+               count(*)::DOUBLE AS c
+        FROM events, lohi GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(8))::INT AS pos
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    filled AS (
+        SELECT s.user_id, s.pos, coalesce(b.c, 0.0) AS c
+        FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.pos = b.pos
+    )
+    SELECT (user_id % 10)::INT  AS grp,
+           pos,
+           round(min(c), 6)     AS env_lo,
+           round(max(c), 6)     AS env_hi,
+           count(*)::BIGINT     AS n_series
+    FROM filled GROUP BY 1, 2
+    """,
+)
+def events_activity_envelope(spark, sf):
+    """A1 decomposition: envelope (per-position min/max) over zero-filled
+    fixed-length activity series, grouped by a pseudo-cohort."""
+    ev = read_table(spark, sf, "events")
+    s = user_activity_series(ev)
+    e = s.select(
+        (F.col("user_id") % 10).cast("int").alias("grp"),
+        F.posexplode("values").alias("pos", "c"),
+    )
+    return e.groupBy("grp", "pos").agg(
+        F.round(F.min("c"), 6).alias("env_lo"),
+        F.round(F.max("c"), 6).alias("env_hi"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: documents + embeddings
+# ---------------------------------------------------------------------------
+
+@q(
+    "doc_dedup_exact",
+    """
+    SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def doc_dedup_exact(spark, sf):
+    d = read_table(spark, sf, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))))
+    return d.groupBy(norm.alias("_k")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).drop("_k")
+
+
+@q(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           length(text)::BIGINT                                   AS n_chars_txt,
+           round(length(replace(text, ' ', ''))::DOUBLE /
+                 len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf):
+    d = read_table(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim("text"), "\\s+"))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf):
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fingerprint"),
+    )
+
+
+@q(
+    "emb_cosine_topk",
+    """
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark, sf):
+    """Brute-force cosine top-k (the exact ANN baseline): JVM-side
+    zip_with/aggregate fold, query vector broadcast as a literal."""
+    e = read_table(spark, sf, "embeddings")
+    qrow = (
+        e.orderBy("vec_id").select("vec_id", F.col("embedding").cast("array<double>"))
+        .first()
+    )
+    qv = F.lit(qrow[1]).cast("array<double>")
+    emb = F.col("embedding").cast("array<double>")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return (
+        e.filter(F.col("vec_id") != qrow[0])
+        .select(
+            "vec_id",
+            F.round(
+                dot(emb, qv) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qv, qv))), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KAPRA flagship (UDF pipeline -> rows-only driver check; exactness is
+# covered by the pytest oracle gate instead)
+# ---------------------------------------------------------------------------
+
+@q("kapra_user_activity", None)
+def kapra_user_activity(spark, sf):
+    ev = read_table(spark, sf, "events")
+    series = user_activity_series(ev)
+    res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+    return res.records.select(
+        "original_index", "group_id", "pattern", "level",
+        F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+    )

@@ -70,7 +70,9 @@ def test_kapra_spark_matches_oracle(spark, n_rows, seed, K, P, sax_level):
     # exact output row order (reference CSV order)
     ordered = [
         r["original_index"]
-        for r in got.records.orderBy("group_id", "p_order", "okey")
+        for r in got.records.orderBy(
+            "group_id", "p_order", "c_order", "original_index"
+        )
         .select("original_index")
         .collect()
     ]
