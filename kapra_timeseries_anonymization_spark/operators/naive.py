@@ -1,0 +1,324 @@
+"""Naive top-down (k,P)-anonymization as a distributed Spark pipeline.
+
+Semantics: exact match to the reference
+(/root/reference/src/naive_anonymization.py:18-341, src/k_anon.py:24-121):
+
+- Phase 1 (Mondrian): recursive median splits on the widest H-column with
+  the reference's *stable* in-place list sorts. Here: an iterative driver
+  loop (<= log2(N/k) rounds); each round collects ONLY per-partition stats
+  (count + per-column spreads — O(#partitions * T)), broadcasts split
+  decisions back, and performs the exact stable median split with
+  row_number over (value, pos). `pos` carries the reference's list order
+  through rounds, so rejected/terminal partitions keep the same member
+  order the in-place sorts would have produced.
+- Phase 2 (node splitting) + Phase 3 (bad-leaf absorption) run per k-group
+  inside ONE `applyInPandas` task: every k-group is small (Mondrian stops
+  below 2k), so the reference's recursive tree — vectorized with the
+  numpy SAX kernels per node — runs locally and exactly, including
+  child_merge freezing, in-place level maximization, '*' merged-all leaf,
+  strict-< nearest-good-leaf absorption, and dropped-records edge when no
+  good leaf is reachable.
+
+Scale: rounds are bounded and data-parallel (one window shuffle each over
+a shrinking live set); the only driver state is per-partition stats. The
+applyInPandas stage is naturally skew-free (groups < 2k rows) unless the
+data is degenerate (zero spread everywhere -> one giant partition), which
+is inherited reference behavior and documented.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class NaiveGroups:
+    """``records`` columns: original_index, group_id, leaf_seq, row_ord,
+    pattern, level, lower, upper, vl (round-4), pl (NaN where the reference
+    skips the record in the PL numerator). Reference output row order =
+    orderBy(group_id, leaf_seq, row_ord)."""
+
+    records: DataFrame
+    avg_vl: float
+    avg_pl: float
+    n_groups: int
+
+
+def mondrian_partition(
+    df: DataFrame,
+    values_col: str = "values",
+    index_col: str = "original_index",
+    k: int = 8,
+    t: int | None = None,
+) -> DataFrame:
+    """Reference-exact Mondrian: returns (original_index, values, pid, pos,
+    group_id) where pid is the leaf path and group_id the 1-based DFS rank."""
+    spark = df.sparkSession
+    if t is None:
+        t = len(df.select(values_col).first()[0])
+
+    cur = df.select(
+        F.col(index_col).cast("long").alias("original_index"),
+        F.col(values_col).alias("values"),
+    ).withColumn("pid", F.lit("r")).withColumn(
+        "pos", F.col("original_index")
+    )
+    done_parts: list[DataFrame] = []
+    cur = cur.persist()
+    round_no = 0
+    while True:
+        stats = (
+            cur.groupBy("pid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    (F.max(F.col("values").getItem(i))
+                     - F.min(F.col("values").getItem(i))).alias(f"s{i}")
+                    for i in range(t)
+                ],
+            )
+            .collect()
+        )
+        decisions = []  # (pid, col_idx, mid)
+        final_pids = []
+        for r in stats:
+            spreads = [r[f"s{i}"] for i in range(t)]
+            # first column with strictly greater spread wins (k_anon.py:35-52)
+            best_col, best = None, -1
+            for i, s in enumerate(spreads):
+                if s > best:
+                    best, best_col = s, i
+            if r["n"] < 2 * k or best_col is None or best == 0:
+                final_pids.append(r["pid"])
+            else:
+                decisions.append((r["pid"], best_col, r["n"] // 2))
+        if final_pids:
+            # localCheckpoint: truncate the per-round window lineage so
+            # finished partitions don't recompute the whole split history
+            keep = cur.filter(F.col("pid").isin(final_pids)).localCheckpoint()
+            done_parts.append(keep)
+        if not decisions:
+            break
+        dec = spark.createDataFrame(decisions, "pid string, ci int, mid long")
+        nxt = (
+            cur.join(F.broadcast(dec), "pid")
+            .withColumn("_kv", F.element_at("values", F.col("ci") + 1))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy("_kv", "pos")
+                ),
+            )
+            .withColumn("_left", F.col("_rn") <= F.col("mid"))
+            .select(
+                "original_index",
+                "values",
+                F.concat(
+                    F.col("pid"), F.when(F.col("_left"), "0").otherwise("1")
+                ).alias("pid"),
+                F.when(F.col("_left"), F.col("_rn"))
+                .otherwise(F.col("_rn") - F.col("mid"))
+                .cast("long")
+                .alias("pos"),
+            )
+            .persist()
+        )
+        cur.unpersist()
+        cur = nxt
+        round_no += 1
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    # GroupID: leaf pids are prefix-free, so lexicographic order == the
+    # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119)
+    pids = sorted(r["pid"] for r in out.select("pid").distinct().collect())
+    gid_map = spark.createDataFrame(
+        [(p, i + 1) for i, p in enumerate(pids)], "pid string, group_id int"
+    )
+    return out.join(F.broadcast(gid_map), "pid")
+
+
+def _make_split_udf(K: int, P: int, max_level: int, n_segments: int):
+    """Per-k-group node splitting + absorption; runs on executors."""
+
+    def split_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # imports inside: executed on workers from the shipped package zip
+        from kapra_timeseries_anonymization_spark.functions.kernels import (
+            envelope,
+            pattern_loss_single,
+            sax_block,
+        )
+
+        pdf = pdf.sort_values("pos", kind="stable").reset_index(drop=True)
+        series = np.stack(pdf["values"].to_numpy()).astype(np.float64)
+        n = len(pdf)
+
+        def sax_of(rows: np.ndarray, level: int) -> np.ndarray:
+            return sax_block(series[rows], level, n_segments)
+
+        class Node:
+            __slots__ = ("rows", "level", "pattern", "label", "children")
+
+            def __init__(self, rows, level, pattern, label="intermediate"):
+                self.rows = rows          # list of local row positions
+                self.level = level
+                self.pattern = pattern
+                self.label = label
+                self.children = []
+
+        def split(node: Node) -> None:
+            size = len(node.rows)
+            if node.label == "good-leaf":
+                return
+            if size < P:
+                node.label = "bad-leaf"
+                return
+            if node.level == max_level:
+                node.label = "good-leaf"
+                return
+            if P <= size < 2 * P:
+                lvl, pat = node.level, node.pattern
+                while lvl < max_level:
+                    words = sax_of(np.array(node.rows), lvl + 1)
+                    if len(set(words)) == 1:
+                        lvl, pat = lvl + 1, words[0]
+                    else:
+                        break
+                node.level, node.pattern, node.label = lvl, pat, "good-leaf"
+                return
+            nxt = node.level + 1
+            words = sax_of(np.array(node.rows), nxt)
+            groups: dict[str, list[int]] = {}
+            for r, w in zip(node.rows, words):
+                groups.setdefault(w, []).append(r)
+            valid, small = [], []
+            for pat, rows in groups.items():
+                child = Node(rows, nxt, pat)
+                (valid if len(rows) >= P else small).append(child)
+            if sum(len(c.rows) for c in small) >= P:
+                merged: list[int] = []
+                for c in small:
+                    merged.extend(c.rows)
+                # child_merge: parent's level/pattern, frozen good
+                valid.append(Node(merged, node.level, node.pattern, "good-leaf"))
+                small = []
+            valid.extend(small)
+            if valid:
+                node.children = valid
+                for c in valid:
+                    split(c)
+            else:
+                node.children = []
+                node.label = "good-leaf"
+
+        def leaves(node: Node):
+            if not node.children:
+                return [node]
+            out = []
+            for c in node.children:
+                out.extend(leaves(c))
+            return out
+
+        root = Node(list(range(n)), 1, str(sax_of(np.array([0]), 1)[0]))
+        split(root)
+        ls = leaves(root)
+        good = [l for l in ls if l.label == "good-leaf"]
+        bad = [l for l in ls if l.label == "bad-leaf"]
+        if bad:
+            if not good:
+                rows: list[int] = []
+                for l in bad:
+                    rows.extend(l.rows)
+                good = [Node(rows, 2, "*", "good-leaf")]
+            else:
+                for bl in bad:
+                    mean_ts = series[bl.rows].mean(axis=0)
+                    best, min_d = None, math.inf
+                    for gl in good:
+                        try:
+                            d = pattern_loss_single(mean_ts, gl.pattern, gl.level)
+                        except Exception:
+                            d = math.inf
+                        if d < min_d:
+                            min_d, best = d, gl
+                    if best is not None:
+                        best.rows.extend(bl.rows)
+                    # else: records are dropped (reference :254-257)
+
+        recs = []
+        for leaf_seq, leaf in enumerate(good):
+            lo, hi, vl = envelope(series[leaf.rows])
+            vl4 = round(vl, 4)
+            for row_ord, r in enumerate(leaf.rows):
+                try:
+                    if leaf.level >= 3:
+                        pl = pattern_loss_single(series[r], leaf.pattern, leaf.level)
+                    else:
+                        pl = 1.0
+                except Exception:
+                    pl = float("nan")  # reference: skipped in PL numerator
+                recs.append(
+                    (
+                        int(pdf["original_index"].iloc[r]),
+                        leaf_seq,
+                        row_ord,
+                        leaf.pattern,
+                        int(leaf.level),
+                        [float(x) for x in lo],
+                        [float(x) for x in hi],
+                        vl4,
+                        pl,
+                        int(pdf["group_id"].iloc[0]),
+                    )
+                )
+        return pd.DataFrame(
+            recs,
+            columns=[
+                "original_index", "leaf_seq", "row_ord", "pattern", "level",
+                "lower", "upper", "vl", "pl", "group_id",
+            ],
+        )
+
+    return split_group
+
+
+_SPLIT_SCHEMA = (
+    "original_index long, leaf_seq int, row_ord int, pattern string, "
+    "level int, lower array<double>, upper array<double>, vl double, "
+    "pl double, group_id int"
+)
+
+
+def naive_anonymize(
+    df: DataFrame,
+    values_col: str = "values",
+    index_col: str = "original_index",
+    K: int = 8,
+    P: int = 2,
+    max_level: int = 10,
+    n_segments: int = 4,
+    t: int | None = None,
+) -> NaiveGroups:
+    parts = mondrian_partition(df, values_col, index_col, K, t)
+    records = (
+        parts.groupBy("group_id")
+        .applyInPandas(_make_split_udf(K, P, max_level, n_segments), _SPLIT_SCHEMA)
+        .persist()
+    )
+    row = records.agg(
+        F.sum("vl").alias("sv"),
+        F.sum(F.when(F.isnan("pl"), 0.0).otherwise(F.col("pl"))).alias("sp"),
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("group_id").alias("g"),
+    ).first()
+    avg_vl = (row["sv"] or 0.0) / row["c"] if row["c"] else 0.0
+    avg_pl = (row["sp"] or 0.0) / row["c"] if row["c"] else 0.0
+    return NaiveGroups(records, avg_vl, avg_pl, int(row["g"]))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators.derive import epoch_sec, gap_fill, user_activity_series
 from .operators.kapra import kapra_anonymize
+from .operators.naive import naive_anonymize
 from .operators.rollup import cascade
 from .sources.tables import read_table
 
@@ -452,4 +453,18 @@ def kapra_user_activity(spark, sf):
     return res.records.select(
         "original_index", "group_id", "pattern", "level",
         F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+    )
+
+
+@q("naive_user_activity", None)
+def naive_user_activity(spark, sf):
+    """Naive top-down (k,P) pipeline (Mondrian + node splitting + bad-leaf
+    absorption) on the same derived series; rows-only driver check — exact
+    parity is enforced by the pytest oracle gate."""
+    ev = read_table(spark, sf, "events")
+    series = user_activity_series(ev)
+    res = naive_anonymize(series, K=8, P=2, max_level=10, t=8)
+    return res.records.select(
+        "original_index", "group_id", "leaf_seq", "pattern", "level",
+        F.round("vl", 4).alias("vl"),
     )
