@@ -23,10 +23,10 @@ from kapra_timeseries_anonymization_spark.session import ship_package
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: events -> gap-filled per-user activity series -> KAPRA
-    (k,P)-anonymous pattern groups with envelopes + losses."""
+    """Flagship (north star): transcripts -> per-conversation turn-rate
+    series -> KAPRA (k,P)-anonymous pattern groups with envelopes + losses."""
     ship_package(spark)
-    fn, _ = REGISTRY["kapra_user_activity"]
+    fn, _ = REGISTRY["kapra_transcripts"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "doc_dedup_exact",
     "doc_token_stats",
     "emb_cosine_topk",
+    "transcripts_turn_rate_1m",
+    "transcripts_latency",
+    "kapra_transcripts",
     "kapra_user_activity",
 ]
 
@@ -57,11 +60,11 @@ def main() -> None:
         out = {}
         for n in (8, 32):
             spark = build_session(f"bench-scaling-{n}", master=f"local[{n}]")
-            run_once(spark, sf_dir, ["kapra_user_activity"])  # warm
+            run_once(spark, sf_dir, ["kapra_transcripts"])  # warm
             t0 = time.perf_counter()
-            times = run_once(spark, sf_dir, ["kapra_user_activity"])
-            rows = times["_rows_kapra_user_activity"]
-            dt = times["kapra_user_activity"]
+            times = run_once(spark, sf_dir, ["kapra_transcripts"])
+            rows = times["_rows_kapra_transcripts"]
+            dt = times["kapra_transcripts"]
             out[f"local[{n}]"] = {"sec": dt, "rows": rows,
                                   "series_per_sec": round(rows / dt, 1)}
             spark.stop()

@@ -25,6 +25,11 @@ from .operators.kapra import kapra_anonymize
 from .operators.naive import naive_anonymize
 from .operators.rollup import cascade
 from .sources.tables import read_table
+from .sources.transcripts import (
+    TRANSCRIPTS_ORACLE_CTE,
+    conv_turn_rate_series,
+    transcripts_from_events,
+)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -328,6 +333,127 @@ def events_activity_envelope(spark, sf):
         F.round(F.min("c"), 6).alias("env_lo"),
         F.round(F.max("c"), 6).alias("env_hi"),
         F.count(F.lit(1)).alias("n_series"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transcripts (the input_hint shape): pass-through invariant, turn-rate
+# rollup, inter-turn latency — the target engine's real front half
+# ---------------------------------------------------------------------------
+
+@q(
+    "transcripts_passthrough",
+    f"""
+    WITH {TRANSCRIPTS_ORACLE_CTE}
+    SELECT conv_id, turn_idx, role, text, tool,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM transcripts2
+    """,
+)
+def transcripts_passthrough(spark, sf):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — every transcript row reproduced
+    byte-for-byte by the independent oracle derivation."""
+    t = transcripts_from_events(spark, sf)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        _ts_str(F.col("ts")).alias("ts_s"),
+    )
+
+
+@q(
+    "transcripts_turn_rate_1m",
+    f"""
+    WITH {TRANSCRIPTS_ORACLE_CTE}
+    SELECT conv_id,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*)::BIGINT                                        AS n_turns,
+           count(DISTINCT role)::BIGINT                            AS n_roles
+    FROM transcripts2 GROUP BY 1, 2
+    """,
+)
+def transcripts_turn_rate_1m(spark, sf):
+    """Per-conversation 1-minute turn-rate points (the raw->1m tier on the
+    transcript table)."""
+    t = transcripts_from_events(spark, sf)
+    return t.groupBy(
+        "conv_id", F.date_trunc("minute", "ts").alias("_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+    ).select(
+        "conv_id", _ts_str(F.col("_b")).alias("bucket"), "n_turns", "n_roles"
+    )
+
+
+@q(
+    "transcripts_latency",
+    f"""
+    WITH {TRANSCRIPTS_ORACLE_CTE},
+    d AS (
+        SELECT conv_id,
+               epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        FROM transcripts2
+    )
+    SELECT conv_id,
+           count(*)::BIGINT   AS n_turns,
+           round(avg(gap), 4) AS avg_latency_sec,
+           round(max(gap), 4) AS max_latency_sec
+    FROM d GROUP BY conv_id
+    """,
+)
+def transcripts_latency(spark, sf):
+    """Inter-turn latency per conversation over the stable turn_idx order
+    (SURVEY §2.8 transcript latency derivation)."""
+    t = transcripts_from_events(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = epoch_sec("ts") - F.lag(epoch_sec("ts")).over(w)
+    return (
+        t.withColumn("gap", gap)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.round(F.avg("gap"), 4).alias("avg_latency_sec"),
+            F.round(F.max("gap"), 4).alias("max_latency_sec"),
+        )
+    )
+
+
+@q(
+    "transcripts_tool_share",
+    f"""
+    WITH {TRANSCRIPTS_ORACLE_CTE}
+    SELECT role,
+           count(*)::BIGINT                              AS n_turns,
+           count(DISTINCT conv_id)::BIGINT               AS n_convs,
+           round(avg(length(text)), 4)                   AS avg_text_len,
+           count(CASE WHEN tool <> '' THEN 1 END)::BIGINT AS n_tool_turns
+    FROM transcripts2 GROUP BY role
+    """,
+)
+def transcripts_tool_share(spark, sf):
+    t = transcripts_from_events(spark, sf)
+    return t.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_text_len"),
+        F.count(F.when(F.col("tool") != "", 1)).alias("n_tool_turns"),
+    )
+
+
+@q("kapra_transcripts", None)
+def kapra_transcripts(spark, sf):
+    """North-star flagship: transcripts -> per-conversation turn-rate
+    series -> KAPRA (k,P)-anonymous pattern groups with envelopes + losses.
+    Rows-only driver check; exactness vs the numpy oracle is enforced in
+    tests/test_transcripts.py."""
+    t = transcripts_from_events(spark, sf)
+    series = conv_turn_rate_series(t, n_buckets=8)
+    res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+    return res.records.select(
+        "original_index", "group_id", "pattern", "level",
+        F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
     )
 
 
