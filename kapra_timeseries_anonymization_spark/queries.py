@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.chunks import chunk_stats, compress_chunks, decompress_chunks
 from .operators.derive import epoch_sec, gap_fill, user_activity_series
 from .operators.kapra import kapra_anonymize
 from .operators.naive import naive_anonymize
@@ -334,6 +335,51 @@ def events_activity_envelope(spark, sf):
         F.round(F.max("c"), 6).alias("env_hi"),
         F.count(F.lit(1)).alias("n_series"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gorilla chunk compression (north_star: per-partition byte-array chunks)
+# ---------------------------------------------------------------------------
+
+@q(
+    "events_gorilla_roundtrip",
+    """
+    SELECT user_id,
+           count(*)::BIGINT                          AS n_points,
+           round(sum(value), 4)                      AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')    AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S')    AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def events_gorilla_roundtrip(spark, sf):
+    """Events -> Gorilla-compressed binary chunks (per user, 6h tumbling)
+    -> decompress -> per-user aggregate. The oracle aggregates the RAW
+    table directly, so a hash match proves the compress/decompress path is
+    lossless end-to-end through Spark (binary payloads, Arrow batches,
+    microsecond timestamps)."""
+    ev = read_table(spark, sf, "events")
+    chunks = compress_chunks(
+        ev, ["user_id"], "ts", "value", chunk_interval_sec=6 * 3600
+    )
+    points = decompress_chunks(chunks, ["user_id"])
+    return points.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        _ts_str(F.min("ts")).alias("first_ts"),
+        _ts_str(F.max("ts")).alias("last_ts"),
+    )
+
+
+@q("events_chunk_stats", None)
+def events_chunk_stats(spark, sf):
+    """Compression accounting (bytes/point, ratio vs 16B raw) — rows-only:
+    byte counts are codec-defined, not SQL-expressible."""
+    ev = read_table(spark, sf, "events")
+    chunks = compress_chunks(
+        ev, ["user_id"], "ts", "value", chunk_interval_sec=6 * 3600
+    )
+    return chunk_stats(chunks)
 
 
 # ---------------------------------------------------------------------------
