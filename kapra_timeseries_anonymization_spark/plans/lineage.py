@@ -1,0 +1,162 @@
+"""Per-partition lineage checkpointing + resumable retention-tier runs.
+
+north_rule: "Every stage checkpoints per-partition lineage (chunk
+watermarks, row counts, loss accumulators) to a metadata table so runs are
+resumable mid-tier."
+
+Layout (parquet fallback for the sandbox; the same interface backs an
+Iceberg catalog in production — tier tables become Iceberg tables written
+with `writeTo(...).overwritePartitions()`, the lineage log an Iceberg
+append-only table, both giving snapshot isolation on top of the identical
+logic below):
+
+    <base>/<tier>/p_date=YYYY-MM-DD/...   tier data, partitioned by day
+    <base>/lineage_log/...                   append-only checkpoint log:
+        (tier, partition_key, watermark_us, row_count, metric_sum, run_id)
+
+Resume contract:
+- a partition is COMPLETE iff a lineage row exists for (tier, partition);
+  data files without a lineage row are presumed torn and are rewritten;
+- writes use dynamic partition overwrite, so re-running a partition
+  replaces it exactly (idempotent, no dup rows);
+- the lineage row is appended AFTER the data write commits — the window
+  between data-commit and lineage-append can only cause a redundant
+  (idempotent) rewrite, never a missing or doubled partition.
+
+Scale: the incremental filter is an anti-join of the source against the
+tiny completed-partition set (broadcast); on Iceberg it becomes partition
+pruning via `WHERE p_date NOT IN (...)`, i.e. file skipping, not a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.derive import epoch_sec
+from ..operators.rollup import TIER_SECONDS, rollup_raw, rollup_tier
+
+LINEAGE_SCHEMA = (
+    "tier string, partition_key string, watermark_us long, row_count long, "
+    "metric_sum double, run_id string"
+)
+
+
+def _lineage_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "lineage_log")
+
+
+def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
+    p = _lineage_path(base_dir)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def completed_partitions(
+    spark: SparkSession, base_dir: str, tier: str
+) -> DataFrame:
+    return (
+        read_lineage(spark, base_dir)
+        .filter(F.col("tier") == tier)
+        .select("partition_key")
+        .distinct()
+    )
+
+
+def _append_lineage(
+    spark: SparkSession,
+    base_dir: str,
+    tier: str,
+    written: DataFrame,
+    run_id: str,
+) -> int:
+    """One lineage row per just-written partition: watermark = max bucket,
+    row_count, metric_sum (sum_value accumulator)."""
+    rows = (
+        written.groupBy(F.col("p_date").alias("partition_key"))
+        .agg(
+            F.max(epoch_sec("bucket")).cast("long").alias("wm_s"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum("sum_value").cast("double").alias("metric_sum"),
+        )
+        .select(
+            F.lit(tier).alias("tier"),
+            "partition_key",
+            (F.col("wm_s") * 1_000_000).alias("watermark_us"),
+            "row_count",
+            "metric_sum",
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    out = rows.collect()  # tiny: one row per partition
+    if out:
+        spark.createDataFrame(out, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(_lineage_path(base_dir))
+    return len(out)
+
+
+def read_tier(spark: SparkSession, base_dir: str, tier: str) -> DataFrame:
+    # partition-dir values are type-inferred as DATE on read; normalize back
+    # to the string key the lineage log stores
+    return spark.read.parquet(os.path.join(base_dir, tier)).withColumn(
+        "p_date", F.col("p_date").cast("string")
+    )
+
+
+def materialize_cascade(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    run_id: str = "run-0",
+    resume: bool = True,
+) -> dict[str, int]:
+    """Materialize the raw->1m->1h->1d cascade with per-partition lineage.
+
+    Each tier reads the PREVIOUS tier's stored table (never raw twice),
+    skips partitions already recorded in the lineage log, writes new
+    partitions via dynamic partition overwrite, then appends lineage rows.
+    Returns {tier: n_partitions_written} — all zeros on a no-op resume.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    written_counts: dict[str, int] = {}
+    prev: DataFrame | None = None
+    for tier in tiers:
+        sec = TIER_SECONDS[tier]
+        if prev is None:
+            cur = rollup_raw(source, keys, ts_col, value_col, sec)
+        else:
+            cur = rollup_tier(prev, keys, sec)
+        cur = cur.withColumn("p_date", F.to_date("bucket").cast("string"))
+
+        if resume:
+            done = completed_partitions(spark, base_dir, tier)
+            todo = cur.join(
+                F.broadcast(done),
+                cur.p_date == done.partition_key,
+                "left_anti",
+            )
+        else:
+            todo = cur
+
+        tier_path = os.path.join(base_dir, tier)
+        # localCheckpoint: the tier is both written AND the next tier's
+        # input; materializing once avoids recomputing the whole upstream
+        # cascade per tier and truncates lineage for the driver loop
+        todo = todo.localCheckpoint(eager=True)
+        n_parts = todo.select("p_date").distinct().count()
+        if n_parts:
+            todo.write.mode("overwrite").partitionBy("p_date").parquet(tier_path)
+            _append_lineage(spark, base_dir, tier, todo, run_id)
+        written_counts[tier] = n_parts
+        # next tier reads the STORED table: resumed runs see old+new rows
+        prev = read_tier(spark, base_dir, tier).drop("p_date")
+    return written_counts

@@ -206,6 +206,34 @@ def events_rollup_1d_cascade(spark, sf):
     return _tier_out(_spark_cascade(spark, sf)["1d"])
 
 
+@q("events_rollup_1d_resumable", _ROLLUP_SQL.format(unit="day"))
+def events_rollup_1d_resumable(spark, sf):
+    """Lineage-checkpointed cascade with a mid-tier kill/resume INSIDE the
+    query: run 1 writes only the 1m tier (simulated death), run 2 resumes —
+    skips 1m via the lineage anti-join, builds 1h/1d from the stored 1m.
+    The returned stored 1d tier must still hash-match the direct-from-raw
+    oracle."""
+    import shutil
+    import tempfile
+
+    from .plans.lineage import materialize_cascade, read_tier
+
+    ev = read_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="kapra_tiers_")
+    try:
+        materialize_cascade(
+            spark, ev, base, ["event_type"], "ts", "value", tiers=("1m",)
+        )
+        materialize_cascade(
+            spark, ev, base, ["event_type"], "ts", "value", run_id="resume"
+        )
+        out = _tier_out(read_tier(spark, base, "1d").drop("p_date"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 @q(
     "events_gapfill_hourly",
     """
