@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.chunks import chunk_stats, compress_chunks, decompress_chunks
+from .operators.dedup import (
+    SIMHASH_BITS,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from .operators.derive import epoch_sec, gap_fill, user_activity_series
 from .operators.kapra import kapra_anonymize
 from .operators.naive import naive_anonymize
@@ -575,6 +582,109 @@ def doc_token_stats(spark, sf):
             4,
         ).alias("avg_token_len"),
     )
+
+
+# --- near-duplicate suite -------------------------------------------------
+
+_SIMHASH_VOTES = "\n         , ".join(
+    f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+
+@q(
+    "doc_ngram_jaccard_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id                                    AS id_a,
+           b.doc_id                                    AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.2
+    """,
+)
+def doc_ngram_jaccard_pairs(spark, sf):
+    """EXACT word-3-gram Jaccard near-dup pairs via shared-shingle blocking
+    (no O(n^2)); the oracle brute-forces all pairs with list_intersect — an
+    independent method, so a hash match validates the blocking logic."""
+    d = read_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.2)
+
+
+@q(
+    "doc_simhash_pairs",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+        FROM w
+    ),
+    s AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
+    f AS (SELECT doc_id, {_SIMHASH_FP} AS fp FROM s)
+    SELECT a.doc_id                            AS id_a,
+           b.doc_id                            AS id_b,
+           bit_count(xor(a.fp, b.fp))::BIGINT  AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 5
+    """,
+)
+def doc_simhash_pairs(spark, sf):
+    """EXACT SimHash near-dup pairs (60-bit fingerprint, hamming <= 5) via
+    pigeonhole-banded self-join; oracle brute-forces all fingerprint
+    pairs."""
+    d = read_table(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=5)
+
+
+@q("doc_minhash_lsh_pairs", None)
+def doc_minhash_lsh_pairs(spark, sf):
+    """MinHash(64) + LSH(16x4) near-dup pairs, candidates verified with
+    exact Jaccard — the sub-quadratic 100 TB path. Rows-only: recall is
+    probabilistic by design; precision/recall asserted in
+    tests/test_dedup.py."""
+    d = read_table(spark, sf, "documents")
+    return minhash_lsh_pairs(d, k=3, threshold=0.2)
+
+
+@q(
+    "emb_neardup_pairs",
+    """
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id                              AS id_a,
+           b.vec_id                              AS id_b,
+           round(list_dot_product(a.v, b.v), 6)  AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.45
+    """,
+)
+def emb_neardup_pairs(spark, sf):
+    """EXACT embedding near-dup pairs (cosine >= 0.45) — the brute-force
+    correctness baseline for ANN (scale path: operators/ann.py)."""
+    e = read_table(spark, sf, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.45)
 
 
 @q(

@@ -1,0 +1,148 @@
+"""Dedup suite: exact detectors vs independent python brute-force oracles;
+MinHash-LSH precision/recall against the exact pair set."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kapra_timeseries_anonymization_spark.operators.dedup import (
+    MERSENNE_P,
+    _lcg_params,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_shingles(text: str, k: int = 3) -> set:
+    w = text.strip().lower().split()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different words about spark query planning and shuffles"),
+    (3, "completely different words about spark query planning and shuffles"),  # exact dup of 2
+    (4, "a tiny doc"),
+    (5, "the quick brown fox jumps over the lazy cat near the river bank"),  # near-dup of 0/1
+    (6, "unrelated content discussing gorilla compression of time series data"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _exact_pairs(threshold):
+    out = {}
+    for (i, a), (j, b) in itertools.combinations(CORPUS, 2):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= threshold:
+            out[(i, j)] = jac
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    want = _exact_pairs(0.2)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_ngram_jaccard_on_testdata_counts(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert ngram_jaccard_pairs(d, threshold=0.2).count() == 25
+
+
+def test_simhash_banding_is_exact(spark):
+    """Banded join result == brute force over all fingerprint pairs
+    (pigeonhole exactness on real data)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in simhash_fingerprints(d).collect()
+    }
+    want = {
+        (i, j): bin(fps[i] ^ fps[j]).count("1")
+        for i, j in itertools.combinations(sorted(fps), 2)
+        if bin(fps[i] ^ fps[j]).count("1") <= 5
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(d, max_hamming=5).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_signature_matches_python_oracle(spark, docs):
+    n_perm = 64
+    a, b = _lcg_params(n_perm)
+    rows = minhash_signatures(docs, n_perm=n_perm).collect()
+    assert rows
+    for r in rows:
+        text = dict(CORPUS)[r["doc_id"]]
+        hv = np.array(
+            [_py_hash60(s) % MERSENNE_P for s in _py_shingles(text)],
+            dtype=np.int64,
+        )
+        want = ((a[:, None] * hv[None, :] + b[:, None]) % MERSENNE_P).min(axis=1)
+        assert list(r["sig"]) == [int(x) for x in want]
+
+
+def test_minhash_lsh_precision_and_recall(spark):
+    """Every LSH pair must be a true pair (precision 1.0 — candidates are
+    verified); recall vs the exact detector must be high at j >= 0.2 with
+    16x4 bands."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(d, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(d, threshold=0.2).collect()
+    }
+    assert lsh <= exact  # precision 1.0
+    assert len(lsh) / len(exact) >= 0.9  # high recall (deterministic here)
+
+
+def test_embedding_neardup_pairs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    ids = pdf["vec_id"].to_numpy()
+    want = set()
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    for i, j in zip(*iu):
+        if cos[i, j] >= 0.45:
+            a, b = int(ids[i]), int(ids[j])
+            want.add((min(a, b), max(a, b)))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    assert got == want
+    assert len(got) > 0
