@@ -29,6 +29,12 @@ from .operators.dedup import (
     simhash_pairs,
 )
 from .operators.derive import epoch_sec, gap_fill, user_activity_series
+from .operators.text import (
+    language_id,
+    quality_features,
+    stopword_ratio,
+    winnow_fingerprint,
+)
 from .operators.kapra import kapra_anonymize
 from .operators.naive import naive_anonymize
 from .operators.rollup import cascade
@@ -581,6 +587,124 @@ def doc_token_stats(spark, sf):
             / n_tok,
             4,
         ).alias("avg_token_len"),
+    )
+
+
+# --- text analysis --------------------------------------------------------
+
+_SW = {
+    "en": "['the','a','of','and','to','in','is','on','for','with']",
+    "de": "['der','die','das','und','ist','mit','von','auf','fur','ein']",
+    "fr": "['le','la','les','et','est','dans','pour','que','une','des']",
+}
+_SW_RATIO = (
+    "len(list_filter(w, x -> list_contains({lst}, x)))::DOUBLE"
+    " / greatest(len(w), 1)"
+)
+
+
+@q(
+    "doc_language_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               {_SW_RATIO.format(lst=_SW["en"])} AS r_en,
+               {_SW_RATIO.format(lst=_SW["de"])} AS r_de,
+               {_SW_RATIO.format(lst=_SW["fr"])} AS r_fr
+        FROM t
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN r_fr > 0.05 AND r_fr > r_en AND r_fr > r_de THEN 'fr'
+                WHEN r_de > 0.05 AND r_de > r_en THEN 'de'
+                WHEN r_en > 0.05 THEN 'en'
+                ELSE 'und' END AS lang_pred,
+           round(r_en, 6) AS r_en
+    FROM r
+    """,
+)
+def doc_language_id(spark, sf):
+    """Stopword-list language ID heuristic (argmax ratio, floor 0.05)."""
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        language_id(F.col("text")).alias("lang_pred"),
+        F.round(stopword_ratio(F.col("text"), "en"), 6).alias("r_en"),
+    )
+
+
+@q(
+    "doc_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(w)::BIGINT AS n_words,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+               length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / greatest(len(w), 1) AS avg_word_len,
+               {_SW_RATIO.format(lst=_SW["en"])} AS stop_en,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                   / greatest(length(text), 1) AS sym_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, n_tokens_bpe,
+           round(avg_word_len, 6)  AS avg_word_len,
+           round(stop_en, 6)       AS stopword_ratio_en,
+           round(sym_ratio, 6)     AS symbol_ratio,
+           round(((CASE WHEN avg_word_len >= 2.5 AND avg_word_len <= 10.0
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN stop_en >= 0.02 THEN 1 ELSE 0 END)
+                + (CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_words >= 10 AND n_words <= 100000
+                        THEN 1 ELSE 0 END)) / 4.0, 4) AS quality_score
+    FROM f
+    """,
+)
+def doc_quality(spark, sf):
+    """Quality scoring: word/token counts, word-length, stopword and
+    symbol ratios, 4-indicator composite score."""
+    d = read_table(spark, sf, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@q(
+    "doc_winnow_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(
+               list_sort(list_distinct(list_transform(
+                   list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))),
+                   s -> CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)
+               )))[1:4], ',') AS fingerprint
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents)
+    WHERE len(w) >= 3
+    """,
+)
+def doc_winnow_fingerprint(spark, sf):
+    """Winnowing-style content signature: the 4 smallest distinct shingle
+    hashes (CSV string so both engines hash identically)."""
+    d = read_table(spark, sf, "documents")
+    from .operators.dedup import tokenize
+
+    return d.filter(F.size(tokenize(F.col("text"))) >= 3).select(
+        "doc_id",
+        F.concat_ws(",", winnow_fingerprint(F.col("text"), k=3, m=4))
+        .alias("fingerprint"),
     )
 
 
