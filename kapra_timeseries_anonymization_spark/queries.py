@@ -787,6 +787,47 @@ def doc_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(d, k=3, threshold=0.2)
 
 
+@q("media_pipeline", None)
+def media_pipeline(spark, sf):
+    """Multimodal plumbing end-to-end: deterministic synth media table ->
+    fake-decode statistics -> byte-histogram features -> per-kind summary
+    (the real-codec seam is gated; see operators/multimodal.py).
+    Rows-only: payload bytes have no SQL analogue."""
+    from .operators.multimodal import decode_media, extract_features, synth_media
+
+    m = synth_media(spark, 120)
+    d = decode_media(m)
+    f = extract_features(m, dim=16)
+    return (
+        d.join(f, "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+@q("emb_ann_topk", None)
+def emb_ann_topk(spark, sf):
+    """LSH-bucketed ANN top-10 for the first vector (the sub-quadratic
+    scale path of emb_cosine_topk). Rows-only: recall is probabilistic;
+    recall >= 0.8 on clustered data is asserted in tests/test_ann.py."""
+    from .operators.ann import ann_index, ann_query
+
+    e = read_table(spark, sf, "embeddings")
+    qrow = (
+        e.orderBy("vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .first()
+    )
+    idx = ann_index(e, n_planes=6)
+    return ann_query(idx, qrow[1], k=10, n_planes=6, exclude_id=qrow[0])
+
+
 @q(
     "emb_neardup_pairs",
     """
