@@ -529,6 +529,27 @@ def transcripts_tool_share(spark, sf):
     )
 
 
+@q("kapra_grid_search", None)
+def kapra_grid_search(spark, sf):
+    """Hyper-parameter sweep (reference optimize_kapra entry point): 4
+    configs over the transcript turn-rate series via a driver thread pool,
+    min-max scored. Rows-only: losses are KAPRA-UDF products (pytest
+    oracle covers exactness per config)."""
+    from .plans.optimize import run_grid, score_results
+
+    t = transcripts_from_events(spark, sf)
+    series = conv_turn_rate_series(t, n_buckets=8)
+    results = run_grid(
+        series, [(5, 2, 5), (5, 3, 8), (10, 2, 8), (10, 3, 5)],
+        algo="kapra", parallelism=4,
+    )
+    top = score_results(results, top=4)
+    return spark.createDataFrame(
+        [(d["k"], d["p"], d["level"], d["vl"], d["pl"], d["score"]) for d in top],
+        "k int, p int, level int, vl double, pl double, score double",
+    )
+
+
 @q("kapra_transcripts", None)
 def kapra_transcripts(spark, sf):
     """North-star flagship: transcripts -> per-conversation turn-rate
