@@ -529,6 +529,38 @@ def transcripts_tool_share(spark, sf):
     )
 
 
+@q("kapra_output_table", None)
+def kapra_output_table(spark, sf):
+    """Reference-shaped anonymized output (kapra_anonymization.py:292-324):
+    GroupID, per-timestamp '[lo-hi]' interval strings (int-cast bounds,
+    M7), per-record Pattern — plus the M8 parse-back of the first interval
+    proving format/parse are inverses. Rows-only (UDF pipeline; exactness
+    is pytest-gated)."""
+    t = transcripts_from_events(spark, sf)
+    series = conv_turn_rate_series(t, n_buckets=8)
+    res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+    rec = res.records
+    iv = [
+        F.format_string(
+            "[%d-%d]",
+            F.col("lower")[i].cast("long"),
+            F.col("upper")[i].cast("long"),
+        ).alias(f"H{i + 1}")
+        for i in range(8)
+    ]
+    out = rec.select(
+        F.col("group_id").alias("GroupID"), *iv,
+        F.col("pattern").alias("Pattern"), "original_index",
+    )
+    # M8: parse the interval string back (regexp_extract x2 -> doubles)
+    out = out.withColumn(
+        "h1_lo", F.regexp_extract("H1", r"\[(-?\d+)-(-?\d+)\]", 1).cast("double")
+    ).withColumn(
+        "h1_hi", F.regexp_extract("H1", r"\[(-?\d+)-(-?\d+)\]", 2).cast("double")
+    )
+    return out.orderBy("GroupID", "original_index")
+
+
 @q("kapra_grid_search", None)
 def kapra_grid_search(spark, sf):
     """Hyper-parameter sweep (reference optimize_kapra entry point): 4

@@ -188,16 +188,22 @@ def conv_turn_rate_series(
     (conv_id, values[n_buckets], original_index). This is the transcript
     analogue of the reference's H1..H8 columns and feeds KAPRA directly.
 
-    One shuffle on conv_id (span agg + bucket counts fused via two
-    map-side-combined aggregates); original_index is a stable hash of
-    conv_id so downstream order-sensitive steps are partition-independent.
+    ONE shuffle on conv_id, total: the per-conv span comes from unbounded
+    min/max WINDOW functions (not an agg + join — that plan either
+    broadcasts a fact-table side or adds a second exchange; the window
+    reuses the same hash partitioning the bucket-count aggregate needs, so
+    Catalyst schedules everything after one exchange). original_index is a
+    stable hash of conv_id so downstream order-sensitive steps are
+    partition-independent.
     """
     from ..operators.derive import epoch_sec
 
-    spans = transcripts.groupBy("conv_id").agg(
-        epoch_sec(F.min("ts")).alias("_lo"), epoch_sec(F.max("ts")).alias("_hi")
+    w = Window.partitionBy("conv_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    t = transcripts.join(spans, "conv_id")
+    t = transcripts.withColumn("_lo", epoch_sec(F.min("ts").over(w))).withColumn(
+        "_hi", epoch_sec(F.max("ts").over(w))
+    )
     span = F.greatest(F.col("_hi") - F.col("_lo"), F.lit(1e-9))
     b = F.least(
         F.floor((epoch_sec("ts") - F.col("_lo")) / span * n_buckets),
