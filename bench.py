@@ -3,8 +3,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds and
 the headline rolled-up-points/sec metric.
 
 Extra modes (not used by the driver):
-  --scaling   run the flagship at local[8] and local[32] and report
-              throughput at both + scaling efficiency (BASELINE.json rule).
+  --scaling   run the flagship pipeline (synthetic transcripts at a
+              core-saturating size -> turn-rate series -> KAPRA) at
+              local[8] and local[32] on the SAME deterministic input and
+              report turns/sec at both + scaling efficiency — the
+              sandbox stand-in for the N vs 4N executor-cluster rule
+              (BASELINE.json). $SPARK_GRAFT_SCALE_CONVS overrides the
+              conversation count (default 120000, ~2.9M turns).
 """
 
 from __future__ import annotations
@@ -57,20 +62,56 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     if "--scaling" in sys.argv:
+        from kapra_timeseries_anonymization_spark.operators.kapra import (
+            kapra_anonymize,
+        )
+        from kapra_timeseries_anonymization_spark.sources.transcripts import (
+            conv_turn_rate_series,
+            synth_transcripts,
+        )
+
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
+        # N vs 4N core levels. Default 4 vs 16 (not 8 vs 32): every pandas-
+        # UDF task occupies a JVM thread AND a python worker, so local[32]
+        # on a 32-vCPU box runs 64 runnable threads — measuring scheduler
+        # oversubscription, not scaling. 4+4 and 16+16 both fit.
+        levels = [
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+        ]
+
+        def flagship(spark, n):
+            t = synth_transcripts(spark, n_convs=n, mean_turns=24)
+            n_turns = t.count()
+            series = conv_turn_rate_series(t, n_buckets=8)
+            res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+            c = res.records.count()
+            res.records.unpersist()
+            return n_turns, c
+
         out = {}
-        for n in (8, 32):
+        for n in levels:
             spark = build_session(f"bench-scaling-{n}", master=f"local[{n}]")
-            run_once(spark, sf_dir, ["kapra_transcripts"])  # warm
+            # full-size warm-up: a cold first run is ~3x slower (JVM C2
+            # compilation of codegen'd stages + python-worker spin-up) and
+            # would corrupt the comparison
+            flagship(spark, n_convs)
             t0 = time.perf_counter()
-            times = run_once(spark, sf_dir, ["kapra_transcripts"])
-            rows = times["_rows_kapra_transcripts"]
-            dt = times["kapra_transcripts"]
-            out[f"local[{n}]"] = {"sec": dt, "rows": rows,
-                                  "series_per_sec": round(rows / dt, 1)}
+            turns, n_series = flagship(spark, n_convs)
+            dt = time.perf_counter() - t0
+            out[f"local[{n}]"] = {
+                "sec": round(dt, 3),
+                "turns": turns,
+                "series": n_series,
+                "turns_per_sec": round(turns / dt, 1),
+            }
             spark.stop()
-        eff = (out["local[32]"]["series_per_sec"]
-               / out["local[8]"]["series_per_sec"]) / 4.0
+        lo, hi = f"local[{levels[0]}]", f"local[{levels[-1]}]"
+        eff = (out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / (
+            levels[-1] / levels[0]
+        )
         out["scaling_efficiency"] = round(eff, 3)
+        out["input"] = f"synth_transcripts(n_convs={n_convs}, mean_turns=24)"
         print(json.dumps(out))
         return
 

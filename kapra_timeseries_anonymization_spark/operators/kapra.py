@@ -111,6 +111,11 @@ def kapra_anonymize(
         .withColumn("combo_key", F.concat_ws("\x1f", F.col("sax_vec")))
         .persist()
     )
+    # materialize the cache BEFORE the combo join below: its two branches
+    # would otherwise race to compute the same uncached partitions (block-
+    # lock contention + a duplicate SAX-UDF worker wave — measured 27x
+    # slower at local[32] on 120k series)
+    base.count()
 
     # ---- lossless reduction to pattern space (one combined shuffle)
     combo_rows = (
@@ -270,6 +275,9 @@ def kapra_anonymize(
         records = records.withColumn(
             "pl", pattern_loss_udf(F.col("values"), F.col("pattern"), F.col("level"))
         )
+    # persist: the PL UDF + broadcast join run ONCE — the avg_pl aggregate
+    # below and every caller action (count/collect/write) hit the cache
+    records = records.persist()
 
     avg_vl = float(np.mean([g["vl"] for g in out_groups])) if out_groups else 0.0
     if compute_pl:
@@ -279,5 +287,6 @@ def kapra_anonymize(
         avg_pl = (row["s"] or 0.0) / row["c"] if row["c"] else 0.0
     else:
         avg_pl = float("nan")
+    base.unpersist()
 
     return KapraGroups(records, out_groups, avg_vl, avg_pl, n_suppressed)

@@ -37,6 +37,18 @@ def ship_package(spark: SparkSession) -> None:
     spark._kapra_pkg_shipped = True
 
 
+#: numpy/BLAS must be single-threaded inside pandas-UDF workers: Spark
+#: supplies the parallelism (one worker per core), and letting each worker
+#: spawn n_cpu OpenMP/BLAS threads oversubscribes the machine quadratically
+#: (measured: 3x slowdown at local[16] on the SAX/PL kernels).
+_BLAS_PIN = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
 def build_session(
     app_name: str = "kapra-ts-engine",
     master: str | None = None,
@@ -44,6 +56,9 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for k, v in _BLAS_PIN.items():
+        # local mode: python workers inherit the driver process env
+        os.environ.setdefault(k, v)
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # local[N]: one shuffle partition per core keeps every stage wide
@@ -64,6 +79,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _BLAS_PIN.items():
+        # cluster mode: ship the pin to executor-side python workers too
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
