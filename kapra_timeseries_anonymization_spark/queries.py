@@ -279,6 +279,46 @@ def events_gapfill_hourly(spark, sf):
 
 
 @q(
+    "events_gapfill_locf",
+    """
+    WITH h AS (
+        SELECT user_id, date_trunc('hour', ts) AS b,
+               round(avg(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(b) lo, max(b) hi FROM h GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.user_id, s.b, h.v FROM spine s
+        LEFT JOIN h ON s.user_id = h.user_id AND s.b = h.b
+    )
+    SELECT user_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM joined
+    """,
+)
+def events_gapfill_locf(spark, sf):
+    """Gap-fill with last-observation-carried-forward (the fill_forward
+    path of gap_fill): per-user hourly mean value, dense spine, nulls
+    forward-filled."""
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    filled = gap_fill(hourly, ["user_id"], "bucket", 3600, fill_forward=["v"])
+    return filled.select(
+        "user_id", _ts_str(F.col("bucket")).alias("bucket"),
+        F.col("v").alias("v_locf"),
+    )
+
+
+@q(
     "events_latency_stats",
     """
     WITH d AS (
@@ -982,6 +1022,29 @@ def kapra_user_activity(spark, sf):
         "original_index", "group_id", "pattern", "level",
         F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
     )
+
+
+@q("naive_output_table", None)
+def naive_output_table(spark, sf):
+    """Reference-shaped NAIVE output (naive_anonymization.py:264-312):
+    GroupID, raw-value '[lo-hi]' interval strings (no int cast — the
+    naive/KAPRA formatting difference, SURVEY §4.4), per-record Pattern,
+    ordered by GroupID like the reference's final sort. Rows-only."""
+    ev = read_table(spark, sf, "events")
+    series = user_activity_series(ev)
+    res = naive_anonymize(series, K=8, P=2, max_level=10, t=8)
+    rec = res.records
+    iv = [
+        F.concat(
+            F.lit("["), F.col("lower")[i].cast("string"), F.lit("-"),
+            F.col("upper")[i].cast("string"), F.lit("]"),
+        ).alias(f"H{i + 1}")
+        for i in range(8)
+    ]
+    return rec.select(
+        F.col("group_id").alias("GroupID"), *iv,
+        F.col("pattern").alias("Pattern"), "original_index",
+    ).orderBy("GroupID", "original_index")
 
 
 @q("naive_user_activity", None)

@@ -1,0 +1,105 @@
+"""Hypothesis property tests for the engine's algebraic foundations
+(SURVEY §5.2): envelope semilattice laws, VL monotonicity under merge, SAX
+affine invariance, tier-cascade consistency, gap-fill idempotence."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kapra_timeseries_anonymization_spark.functions.kernels import (
+    envelope,
+    sax_block,
+)
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+def series_matrix(draw_rows, t=8):
+    return st.lists(
+        st.lists(finite, min_size=t, max_size=t),
+        min_size=draw_rows[0],
+        max_size=draw_rows[1],
+    ).map(lambda rows: np.array(rows, dtype=np.float64))
+
+
+@given(a=series_matrix((1, 12)), b=series_matrix((1, 12)))
+@settings(max_examples=150, deadline=None)
+def test_envelope_merge_is_exact(a, b):
+    """env(A ∪ B) == elementwise-merge(env(A), env(B)) — the semilattice
+    fact every distributed phase (partial agg, driver merge, tier rollup)
+    relies on."""
+    lo_a, hi_a, _ = envelope(a)
+    lo_b, hi_b, _ = envelope(b)
+    lo_u, hi_u, _ = envelope(np.vstack([a, b]))
+    assert np.array_equal(lo_u, np.minimum(lo_a, lo_b))
+    assert np.array_equal(hi_u, np.maximum(hi_a, hi_b))
+
+
+@given(a=series_matrix((1, 12)), b=series_matrix((1, 12)))
+@settings(max_examples=150, deadline=None)
+def test_vl_monotone_under_merge(a, b):
+    """Merging groups can only widen the envelope -> VL never decreases
+    (the greedy phase-3 argmin depends on this)."""
+    _, _, vl_a = envelope(a)
+    _, _, vl_ab = envelope(np.vstack([a, b]))
+    assert vl_ab >= vl_a - 1e-12
+
+
+@given(
+    rows=series_matrix((1, 8)),
+    scale=st.floats(min_value=0.01, max_value=1000),
+    shift=st.floats(min_value=-1e6, max_value=1e6),
+)
+@settings(max_examples=150, deadline=None)
+def test_sax_affine_invariance(rows, scale, shift):
+    """SAX words are invariant under positive-affine transforms of a
+    series (z-normalization guarantee) — up to float cancellation for
+    degenerate near-constant series, which z-norm maps to all-zeros."""
+    base = sax_block(rows, 8, 4)
+    transformed = sax_block(rows * scale + shift, 8, 4)
+    for r, w1, w2 in zip(rows, base, transformed):
+        std = float(np.std(r))
+        # skip catastrophic-cancellation zone: |shift| >> spread
+        if std < 1e-6 or abs(shift) > 1e5 * max(std, 1e-9) / max(scale, 1e-9):
+            continue
+        assert w1 == w2
+
+
+def test_cascade_consistency_spark(spark):
+    """1h-from-1m == 1h-from-raw for n/sum/min/max (algebraic exactness on
+    real data, complementing the DuckDB oracle check)."""
+    from kapra_timeseries_anonymization_spark.operators.rollup import (
+        rollup_raw,
+        rollup_tier,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m1 = rollup_raw(ev, ["event_type"], "ts", "value", 60)
+    h_from_m = rollup_tier(m1, ["event_type"], 3600)
+    h_direct = rollup_raw(ev, ["event_type"], "ts", "value", 3600)
+    a = sorted(map(tuple, h_from_m.collect()))
+    b = sorted(map(tuple, h_direct.collect()))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and ra[1] == rb[1] and ra[2] == rb[2]
+        assert abs(ra[3] - rb[3]) < 1e-9  # sum (float assoc tolerance)
+        assert ra[4] == rb[4] and ra[5] == rb[5]  # min/max exact
+
+
+def test_gapfill_idempotent(spark):
+    """gap_fill of an already-dense frame is the identity."""
+    from pyspark.sql import functions as F
+
+    from kapra_timeseries_anonymization_spark.operators.derive import gap_fill
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    once = gap_fill(hourly, ["event_type"], "bucket", 3600, fill_zero=["n"])
+    twice = gap_fill(once, ["event_type"], "bucket", 3600, fill_zero=["n"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
