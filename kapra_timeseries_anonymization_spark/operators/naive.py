@@ -72,6 +72,11 @@ def mondrian_partition(
     )
     done_parts: list[DataFrame] = []
     cur = cur.persist()
+    # every round's cache stays alive until the single checkpoint at the
+    # end: finished-partition slices read their round's cache lazily, so
+    # no per-round materialization job is needed (measured: the previous
+    # per-round localCheckpoint tripled the Mondrian wall-clock)
+    round_caches: list[DataFrame] = [cur]
     round_no = 0
     while True:
         stats = (
@@ -99,14 +104,24 @@ def mondrian_partition(
                 final_pids.append(r["pid"])
             else:
                 decisions.append((r["pid"], best_col, r["n"] // 2))
-        if final_pids:
-            # localCheckpoint: truncate the per-round window lineage so
-            # finished partitions don't recompute the whole split history
-            keep = cur.filter(F.col("pid").isin(final_pids)).localCheckpoint()
-            done_parts.append(keep)
         if not decisions:
+            if final_pids:
+                # terminal round: everything left is final
+                done_parts.append(cur.localCheckpoint(eager=False))
             break
         dec = spark.createDataFrame(decisions, "pid string, ci int, mid long")
+        if final_pids:
+            # finals = rows whose pid has no split decision. Anti-join (not
+            # isin): thousands of string literals in the plan make every
+            # later Catalyst analysis pass quadratic. The LAZY checkpoint
+            # truncates this part's logical plan at its first
+            # materialization (the union count below) without spending a
+            # per-round job — keeping analysis of all downstream plans
+            # (gid join, applyInPandas) O(1) in the round count.
+            done_parts.append(
+                cur.join(F.broadcast(dec.select("pid")), "pid", "left_anti")
+                .localCheckpoint(eager=False)
+            )
         nxt = (
             cur.join(F.broadcast(dec), "pid")
             .withColumn("_kv", F.element_at("values", F.col("ci") + 1))
@@ -130,20 +145,31 @@ def mondrian_partition(
             )
             .persist()
         )
-        cur.unpersist()
+        round_caches.append(nxt)
         cur = nxt
         round_no += 1
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
+    # ONE materialization for the whole union (reads the round caches),
+    # then free every intermediate cache. persist (not localCheckpoint):
+    # checkpoint RDDs linger until driver GC and accumulate across calls.
+    out = out.persist()
+    out.count()
+    for c in round_caches:
+        c.unpersist()
     # GroupID: leaf pids are prefix-free, so lexicographic order == the
     # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119)
     pids = sorted(r["pid"] for r in out.select("pid").distinct().collect())
     gid_map = spark.createDataFrame(
         [(p, i + 1) for i, p in enumerate(pids)], "pid string, group_id int"
     )
-    return out.join(F.broadcast(gid_map), "pid")
+    result = out.join(F.broadcast(gid_map), "pid")
+    # hand the cache to the caller so it can be released once downstream
+    # results are materialized
+    result._mondrian_cache = out
+    return result
 
 
 def _make_split_udf(K: int, P: int, max_level: int, n_segments: int):
@@ -319,6 +345,10 @@ def naive_anonymize(
         F.count(F.lit(1)).alias("c"),
         F.countDistinct("group_id").alias("g"),
     ).first()
+    # records is materialized in the cache now — release the Mondrian one
+    cache = getattr(parts, "_mondrian_cache", None)
+    if cache is not None:
+        cache.unpersist()
     avg_vl = (row["sv"] or 0.0) / row["c"] if row["c"] else 0.0
     avg_pl = (row["sp"] or 0.0) / row["c"] if row["c"] else 0.0
     return NaiveGroups(records, avg_vl, avg_pl, int(row["g"]))
