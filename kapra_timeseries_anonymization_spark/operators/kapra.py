@@ -118,16 +118,27 @@ def kapra_anonymize(
     base.count()
 
     # ---- lossless reduction to pattern space (one combined shuffle)
-    combo_rows = (
-        envelope_agg(base, ["combo_key", "sax_vec"], "values", t, with_vl=False)
-        .join(
-            base.groupBy("combo_key").agg(
-                F.min("original_index").alias("min_idx")
-            ),
-            "combo_key",
-        )
-        .collect()
+    combo_df = envelope_agg(
+        base, ["combo_key", "sax_vec"], "values", t, with_vl=False
+    ).join(
+        base.groupBy("combo_key").agg(F.min("original_index").alias("min_idx")),
+        "combo_key",
     )
+    # driver-safety guard: the collect below is exact and tiny for real
+    # SAX pattern spaces (C bounded by the joint breakpoint-cell count);
+    # refuse clearly rather than OOM the driver if a caller feeds data
+    # whose pattern space approaches the row count
+    combo_df = combo_df.persist()
+    n_combos = combo_df.count()
+    if n_combos > 5_000_000:
+        combo_df.unpersist()
+        raise ValueError(
+            f"pattern space too large to orchestrate on the driver "
+            f"({n_combos} distinct SAX vectors); lower sax_level / "
+            f"n_segments or pre-bucket the series"
+        )
+    combo_rows = combo_df.collect()
+    combo_df.unpersist()
     combos = [
         _Combo(list(r["sax_vec"]), int(r["count"]), int(r["min_idx"]),
                np.asarray(r["lower"], dtype=np.float64),

@@ -55,15 +55,21 @@ def test_vl_monotone_under_merge(a, b):
 @settings(max_examples=150, deadline=None)
 def test_sax_affine_invariance(rows, scale, shift):
     """SAX words are invariant under positive-affine transforms of a
-    series (z-normalization guarantee) — up to float cancellation for
-    degenerate near-constant series, which z-norm maps to all-zeros."""
+    series (z-normalization guarantee) — EXCEPT where the reference's own
+    absolute flat-series threshold breaks it: sigma < 1e-6 maps to the
+    all-middle word (sax_utils.py:11-12), so scaling a tiny-spread series
+    across that threshold legitimately changes the word. The property
+    therefore skips the threshold-crossing zone (both sigmas must be
+    comfortably above 1e-6) and the catastrophic-cancellation zone
+    (|shift| >> spread)."""
     base = sax_block(rows, 8, 4)
     transformed = sax_block(rows * scale + shift, 8, 4)
     for r, w1, w2 in zip(rows, base, transformed):
         std = float(np.std(r))
-        # skip catastrophic-cancellation zone: |shift| >> spread
-        if std < 1e-6 or abs(shift) > 1e5 * max(std, 1e-9) / max(scale, 1e-9):
-            continue
+        if std < 1e-4 or std * scale < 1e-4:
+            continue  # reference's sigma<1e-6 flat-series regime nearby
+        if abs(shift) > 1e5 * std / max(scale, 1e-9):
+            continue  # float cancellation zone
         assert w1 == w2
 
 
