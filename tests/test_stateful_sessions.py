@@ -1,0 +1,75 @@
+"""applyInPandasWithState sessionization: state accumulates per
+conversation across micro-batches and closed sessions emit on timeout."""
+
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kapra_timeseries_anonymization_spark.streaming.sessions import (
+    sessionize_stream,
+)
+from kapra_timeseries_anonymization_spark.streaming.ingest import TRANSCRIPT_DDL
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out_rows = []
+
+    # batch 1: two conversations
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 3 + ["b"] * 2,
+            "turn_idx": [0, 1, 2, 0, 1],
+            "role": ["user"] * 5,
+            "text": [f"t{i}" for i in range(5)],
+            "tool": [""] * 5,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                 "2024-01-01 00:00:20", "2024-01-01 01:00:00",
+                 "2024-01-01 01:00:30"]
+            ),
+        }
+    )
+    def write(frame, mode):
+        (
+            spark.createDataFrame(frame)
+            .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+            .write.parquet(src, mode=mode)
+        )
+
+    write(pdf, "overwrite")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_sec=2)
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for ingestion, then for the 2s processing-time gap to fire;
+        # an empty follow-up batch is needed to evaluate timeouts, so add
+        # a late third conversation
+        time.sleep(5)
+        write(pdf.head(1).assign(conv_id="c", text="late"), "append")
+        deadline = time.time() + 60
+        while time.time() < deadline and len(out_rows) < 2:
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = {r["conv_id"]: r for r in out_rows}
+    assert "a" in got and "b" in got
+    assert got["a"]["n_turns"] == 3
+    assert got["b"]["n_turns"] == 2
+    assert got["a"]["session_seq"] == 1
+    assert str(got["a"]["first_ts"]) == "2024-01-01 00:00:00"
+    assert str(got["a"]["last_ts"]) == "2024-01-01 00:00:20"
