@@ -194,44 +194,67 @@ def kapra_anonymize(
         g["hi"] = np.maximum.reduce([c.hi for c in g["members"]])
 
     # ---- Phase 3: reference-exact greedy merge (driver, vectorized argmin)
-    groups = [
-        {"sax": g["sax"], "level": g["level"], "count": g["count"],
-         "lo": g["lo"], "hi": g["hi"], "pgs": [g]}
-        for g in p_groups
-    ]
+    # Slot-array layout instead of a list of dicts: each merge only
+    # fancy-indexes the live slots (O(G*T) memcpy) rather than np.stack-ing
+    # G python arrays per round — semantics identical (order list replays
+    # the reference's pop/append list order; np.argmin returns the FIRST
+    # minimum in that order == the reference's strict-< scan).
+    G0 = len(p_groups)
+    cap = 2 * G0 + 1  # every merge adds one slot, at most G0-1 merges
+    slot_lo = np.empty((cap, t), dtype=np.float64)
+    slot_hi = np.empty((cap, t), dtype=np.float64)
+    slot_count = np.empty(cap, dtype=np.int64)
+    slot_meta: list[dict] = [None] * cap  # sax, level, pgs per slot
+    for i, g in enumerate(p_groups):
+        slot_lo[i] = g["lo"]
+        slot_hi[i] = g["hi"]
+        slot_count[i] = g["count"]
+        slot_meta[i] = {"sax": g["sax"], "level": g["level"], "pgs": [g]}
+    order: list[int] = list(range(G0))  # current reference list order
+    n_slots = G0
     while True:
-        invalid = [i for i, g in enumerate(groups) if g["count"] < K]
-        if not invalid:
+        seq = np.asarray(order)
+        counts = slot_count[seq]
+        inv_mask = counts < K
+        if not inv_mask.any():
             break
-        invalid.sort(key=lambda i: groups[i]["count"])  # stable, like ref
-        idx = invalid[0]
-        g = groups[idx]
-        los = np.stack([x["lo"] for x in groups])
-        his = np.stack([x["hi"] for x in groups])
-        mlo = np.minimum(los, g["lo"])
-        mhi = np.maximum(his, g["hi"])
+        # stable sort by count -> first element = min count, earliest pos
+        inv_pos = np.flatnonzero(inv_mask)
+        pos = int(inv_pos[np.argmin(counts[inv_pos])])
+        s_idx = order[pos]
+        mlo = np.minimum(slot_lo[seq], slot_lo[s_idx])
+        mhi = np.maximum(slot_hi[seq], slot_hi[s_idx])
         costs = np.sqrt(((mhi - mlo) ** 2).sum(axis=1) / t)
-        costs[idx] = math.inf
-        best = int(np.argmin(costs))  # first minimum == reference strict-<
-        if not math.isfinite(costs[best]):
+        costs[pos] = math.inf
+        best_pos = int(np.argmin(costs))  # first minimum == ref strict-<
+        if not math.isfinite(costs[best_pos]):
             break  # no partner (reference: best_partner_idx == -1)
-        partner = groups[best]
-        if partner["count"] >= g["count"]:
-            dom_sax, dom_level = partner["sax"], partner["level"]
+        b_idx = order[best_pos]
+        g_meta, p_meta = slot_meta[s_idx], slot_meta[b_idx]
+        if slot_count[b_idx] >= slot_count[s_idx]:
+            dom_sax, dom_level = p_meta["sax"], p_meta["level"]
         else:
-            dom_sax, dom_level = g["sax"], g["level"]
-        merged = {
+            dom_sax, dom_level = g_meta["sax"], g_meta["level"]
+        new = n_slots
+        n_slots += 1
+        slot_lo[new] = mlo[best_pos]
+        slot_hi[new] = mhi[best_pos]
+        slot_count[new] = slot_count[s_idx] + slot_count[b_idx]
+        slot_meta[new] = {
             "sax": dom_sax,
             "level": dom_level,
-            "count": g["count"] + partner["count"],
-            "lo": mlo[best],
-            "hi": mhi[best],
-            "pgs": g["pgs"] + partner["pgs"],
+            "pgs": g_meta["pgs"] + p_meta["pgs"],
         }
-        i1, i2 = sorted([idx, best], reverse=True)
-        groups.pop(i1)
-        groups.pop(i2)
-        groups.append(merged)
+        i1, i2 = sorted([pos, best_pos], reverse=True)
+        order.pop(i1)
+        order.pop(i2)
+        order.append(new)
+    groups = [
+        {"sax": slot_meta[i]["sax"], "level": slot_meta[i]["level"],
+         "count": int(slot_count[i]), "lo": slot_lo[i], "hi": slot_hi[i],
+         "pgs": slot_meta[i]["pgs"]}
+        for i in order
+    ]
 
     # ---- finalize: GroupID = position+1; broadcast assignment map back
     out_groups: list[dict] = []
