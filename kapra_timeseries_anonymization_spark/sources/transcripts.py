@@ -39,7 +39,7 @@ TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 #: used as a CTE by every transcript-query oracle.
 TRANSCRIPTS_ORACLE_CTE = """
     transcripts AS (
-        SELECT 'c' || lpad(user_id::VARCHAR, 6, '0')          AS conv_id,
+        SELECT 'c' || lpad(user_id::VARCHAR, 9, '0')          AS conv_id,
                (row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) - 1)::INT AS turn_idx,
                NULL AS _role_tmp, event_type, event_id, value, ts
@@ -83,7 +83,7 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").cast("string"),
     )
     return t.select(
-        F.concat(F.lit("c"), F.lpad(F.col("user_id").cast("string"), 6, "0"))
+        F.concat(F.lit("c"), F.lpad(F.col("user_id").cast("string"), 9, "0"))
         .alias("conv_id"),
         "turn_idx",
         role.alias("role"),
@@ -111,7 +111,7 @@ def synth_transcripts(
     pathologically long conversation (conv_id 'c_skew') for skew tests.
     """
     conv = spark.range(n_convs).select(
-        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 6, "0"))
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 9, "0"))
         .alias("conv_id"),
         F.col("id").alias("_cid"),
         # conversation length in [mean/2, 3*mean/2), keyed by conv
