@@ -4,12 +4,15 @@ the headline rolled-up-points/sec metric.
 
 Extra modes (not used by the driver):
   --scaling   run the flagship pipeline (synthetic transcripts at a
-              core-saturating size -> turn-rate series -> KAPRA) at
-              local[8] and local[32] on the SAME deterministic input and
-              report turns/sec at both + scaling efficiency — the
-              sandbox stand-in for the N vs 4N executor-cluster rule
+              core-saturating size -> turn-rate series -> KAPRA) at two
+              parallelism levels ($SPARK_GRAFT_SCALE_LEVELS, default
+              "4,16" -> local[4] vs local[16]: pandas-UDF tasks pin a JVM
+              thread + a python worker each, so 16 already saturates the
+              32 vCPUs) on the SAME deterministic input and report
+              turns/sec at both + scaling efficiency — the sandbox
+              stand-in for the N vs 4N executor-cluster rule
               (BASELINE.json). $SPARK_GRAFT_SCALE_CONVS overrides the
-              conversation count (default 120000, ~2.9M turns).
+              conversation count (default 1000000, ~23.5M turns).
 """
 
 from __future__ import annotations

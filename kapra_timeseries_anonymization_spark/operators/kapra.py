@@ -132,6 +132,7 @@ def kapra_anonymize(
     n_combos = combo_df.count()
     if n_combos > 5_000_000:
         combo_df.unpersist()
+        base.unpersist()
         raise ValueError(
             f"pattern space too large to orchestrate on the driver "
             f"({n_combos} distinct SAX vectors); lower sax_level / "

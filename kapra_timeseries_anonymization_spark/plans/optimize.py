@@ -55,10 +55,14 @@ def run_grid(
             res = naive_anonymize(series, K=k, P=p, max_level=level, t=t)
         else:
             raise ValueError(algo)
-        return GridResult(
+        out = GridResult(
             k, p, level, round(time.perf_counter() - t0, 3),
             round(res.avg_vl, 6), round(res.avg_pl, 6),
         )
+        # losses are extracted — release the per-config records cache, or a
+        # sweep leaves one cached DataFrame per config for the session
+        res.records.unpersist()
+        return out
 
     if parallelism > 1:
         with ThreadPoolExecutor(max_workers=parallelism) as ex:

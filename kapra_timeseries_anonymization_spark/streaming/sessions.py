@@ -8,8 +8,10 @@ harness for arbitrary per-key streaming state the built-in window
 aggregates can't express (SURVEY §2.7: `applyInPandasWithState` for
 custom stateful operators).
 
-State per conv_id is three scalars + a timestamp pair — O(active convs),
-bounded by the timeout. At 10^12-turn scale the state store shards by
+After a session closes, a `(seq+1, n_turns=0)` placeholder state survives
+one more gap so a returning conversation continues the per-conv session
+numbering (session_seq 2, 3, ...); a second silent gap removes the
+placeholder, so state stays O(active convs), bounded by 2x the timeout. At 10^12-turn scale the state store shards by
 conv_id across executors like any keyed state.
 """
 
@@ -58,7 +60,18 @@ def _session_fn(gap_sec: int):
         (conv_id,) = key
         if state.hasTimedOut:
             seq, n, first_us, last_us = state.get
-            state.remove()
+            if n == 0:
+                # placeholder state (session already closed, no new turns
+                # for another gap): forget the conversation entirely. Keeps
+                # state O(active convs); a conv returning after 2x gap
+                # restarts at seq=1 — documented trade-off for boundedness.
+                state.remove()
+                return
+            # close the session but KEEP a (seq+1, 0, ...) placeholder so
+            # the next burst of turns gets session_seq = seq + 1 instead of
+            # restarting at 1 (n_turns == 0 means "no open session")
+            state.update((seq + 1, 0, last_us, last_us))
+            state.setTimeoutDuration(gap_ms)
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
@@ -75,6 +88,9 @@ def _session_fn(gap_sec: int):
         ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
         if state.exists:
             seq, n, first_us, last_us = state.get
+            if n == 0:
+                # placeholder: previous session closed — open session `seq`
+                first_us = last_us = int(ts_us.min())
         else:
             seq, n, first_us, last_us = 1, 0, int(ts_us.min()), int(ts_us.min())
         n += len(batch)

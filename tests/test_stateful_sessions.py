@@ -63,13 +63,34 @@ def test_stateful_sessionization(spark, tmp_path):
         deadline = time.time() + 60
         while time.time() < deadline and len(out_rows) < 2:
             time.sleep(1)
+
+        # conversation "a" returns after its session closed: the next
+        # burst must emit session_seq=2 (placeholder state, not seq reset)
+        pdf2 = pdf.head(2).assign(
+            ts=pd.to_datetime(["2024-01-01 02:00:00", "2024-01-01 02:00:05"])
+        )
+        write(pdf2, "append")
+        time.sleep(4)
+        write(pdf.head(1).assign(conv_id="d", text="tick"), "append")
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(
+            r["conv_id"] == "a" and r["session_seq"] == 2 for r in out_rows
+        ):
+            time.sleep(1)
     finally:
         q.stop()
 
-    got = {r["conv_id"]: r for r in out_rows}
+    got = {}
+    for r in out_rows:
+        got.setdefault(r["conv_id"], []).append(r)
     assert "a" in got and "b" in got
-    assert got["a"]["n_turns"] == 3
-    assert got["b"]["n_turns"] == 2
-    assert got["a"]["session_seq"] == 1
-    assert str(got["a"]["first_ts"]) == "2024-01-01 00:00:00"
-    assert str(got["a"]["last_ts"]) == "2024-01-01 00:00:20"
+    first_a = got["a"][0]
+    assert first_a["n_turns"] == 3
+    assert got["b"][0]["n_turns"] == 2
+    assert first_a["session_seq"] == 1
+    assert str(first_a["first_ts"]) == "2024-01-01 00:00:00"
+    assert str(first_a["last_ts"]) == "2024-01-01 00:00:20"
+    second_a = [r for r in got["a"] if r["session_seq"] == 2]
+    assert second_a, f"second session of 'a' never emitted: {out_rows}"
+    assert second_a[0]["n_turns"] == 2
+    assert str(second_a[0]["first_ts"]) == "2024-01-01 02:00:00"
