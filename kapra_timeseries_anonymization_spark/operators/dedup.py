@@ -7,10 +7,14 @@ Four detectors over a ``documents(doc_id, text, ...)`` table:
   Jaccard > 0 shares >= 1 shingle, so blocking loses nothing; the
   intersection size falls out of the block join itself (count of shared
   distinct shingles), no array re-join needed.
-- SimHash (EXACT pairs): 60-bit sign-aggregated word-hash fingerprint;
-  banded self-join — with B bands and max hamming distance d < B, any
-  qualifying pair matches exactly in >= 1 band (pigeonhole), so the
-  banding is exact blocking, not an approximation.
+- SimHash (EXACT pairs): 120-bit sign-aggregated word-hash fingerprint
+  (two independent 60-bit halves from one md5 call); banded self-join —
+  with B bands and max hamming distance d < B, any qualifying pair
+  matches exactly in >= 1 band (pigeonhole), so the banding is exact
+  blocking, not an approximation. 6 bands of 20 bits -> ~6.3M distinct
+  join keys, so candidate volume stays sub-quadratic far past 10^6 docs
+  (the previous 60-bit/10-bit-band layout capped at 6,144 keys and
+  degenerated to ~n^2/6144 candidates at corpus scale).
 - MinHash + LSH (APPROXIMATE, the 100 TB scale path): 64-permutation
   signatures over shingle hashes, 16 bands x 4 rows bucket join,
   candidates verified with exact Jaccard. Sub-quadratic; recall is
@@ -25,12 +29,12 @@ arithmetic never overflows int64 in either engine or numpy.
 
 Scale notes: shingle blocking is one explode + one shuffle on the shingle
 key; hot shingles (stop-phrases) are the skew risk — cap them with
-`max_block` (drop shingles occurring in more than max_block docs: they
-contribute candidates, not correctness, for thresholds tau where a
-dropped pair would still share a rarer shingle; the cap is OFF by default
-and exactness-preserving when off). SimHash banding shuffles on 10-bit
-band values. MinHash LSH shuffles on band buckets — the intended
-sub-quadratic path at 10^12 scale.
+`max_block` (removes shingles occurring in more than max_block docs from
+the whole universe — intersection AND per-doc counts — yielding exact
+Jaccard over the reduced universe at the cost of recall for pairs whose
+only shared shingles are hot; OFF by default = fully exact). MinHash LSH
+shuffles on band buckets — the intended sub-quadratic path at 10^12
+scale.
 """
 
 from __future__ import annotations
@@ -42,7 +46,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MERSENNE_P = (1 << 31) - 1
-SIMHASH_BITS = 60
+SIMHASH_BITS = 60       # bits per fingerprint half (two halves = 120 bits)
+SIMHASH_BANDS = 6       # 120 / 6 = 20-bit band keys
 N_PERM = 64
 LSH_BANDS = 16
 LSH_ROWS = 4
@@ -65,6 +70,13 @@ def tokenize(col) -> Column:
 def hash60(col) -> Column:
     """60-bit positive deterministic hash, reproducible in DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_tail(col) -> Column:
+    """Second, independent 60-bit hash from the TAIL of the same md5
+    digest (hex chars 17..31) — one md5 call yields both fingerprint
+    halves. DuckDB: CAST('0x'||substring(md5(x),17,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("long")
 
 
 def word_shingles(col, k: int = 3) -> Column:
@@ -101,6 +113,13 @@ def ngram_jaccard_pairs(
     Jaccard>0 implies a shared shingle) -> count shared shingles per pair
     (= intersection size) -> broadcast-join per-doc shingle counts ->
     jaccard = common / (n_a + n_b - common).
+
+    With ``max_block`` set, shingles occurring in more than max_block docs
+    are removed from the universe ENTIRELY — from both the intersection
+    AND the per-doc counts — so the result is the exact Jaccard over the
+    reduced shingle universe (a consistent skew cap, not an understated
+    score). Pairs whose only shared shingles are hot ones are still lost;
+    the cap trades that recall for bounded block sizes at corpus scale.
     """
     sh = _doc_shingles(docs, id_col, text_col, k)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -110,6 +129,11 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        # per-doc sizes over the SAME reduced universe (shingles are
+        # already distinct per doc, so count == |reduced shingle set|)
+        counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        counts = sh.select("doc_id", "n_sh")
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -120,7 +144,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    counts = sh.select("doc_id", "n_sh")
     jac = (
         common.join(F.broadcast(counts.withColumnRenamed("doc_id", "id_a")
                                 .withColumnRenamed("n_sh", "n_a")), "id_a")
@@ -143,26 +166,38 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """60-bit SimHash per doc: per word occurrence, each bit of hash60(word)
+    """120-bit SimHash per doc as two 60-bit longs (fp1 = md5 head hash,
+    fp2 = md5 tail hash): per word occurrence, each of the 120 hash bits
     votes +1/-1; fingerprint bit i is set iff the vote sum is > 0. All
-    JVM-side: explode + one map-side-combinable aggregate of 60 sums."""
+    JVM-side: explode + ONE map-side-combinable aggregate of 120 sums."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
-    ).withColumn("h", hash60(F.col("word")))
-    votes = w.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    ).withColumn("h1", hash60(F.col("word"))).withColumn(
+        "h2", hash60_tail(F.col("word"))
     )
-    fp = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+    def vote(src: str, i: int) -> Column:
+        return F.sum(
+            F.when(F.col(src).bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        )
+
+    votes = w.groupBy("doc_id").agg(
+        *[vote("h1", i).alias(f"a{i}") for i in range(SIMHASH_BITS)],
+        *[vote("h2", i).alias(f"c{i}") for i in range(SIMHASH_BITS)],
+    )
+
+    def assemble(prefix: str) -> Column:
+        fp = F.lit(0)
+        for i in range(SIMHASH_BITS):
+            fp = fp + F.when(
+                F.col(f"{prefix}{i}") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return fp.cast("long")
+
+    return votes.select(
+        "doc_id", assemble("a").alias("fp1"), assemble("c").alias("fp2")
+    )
 
 
 def simhash_pairs(
@@ -170,32 +205,44 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 5,
-    n_bands: int = 6,
+    n_bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
-    """EXACT pairs with SimHash hamming distance <= max_hamming.
+    """EXACT pairs with 120-bit SimHash hamming distance <= max_hamming.
 
-    Pigeonhole: max_hamming < n_bands, so any qualifying pair agrees
-    exactly on >= 1 of the 6 10-bit bands — the banded self-join is exact
-    blocking and the full O(n^2) comparison never materializes.
+    Pigeonhole: max_hamming < n_bands and the bands are disjoint, so any
+    qualifying pair agrees exactly on >= 1 of the n_bands 20-bit bands —
+    the banded self-join is exact blocking and the full O(n^2) comparison
+    never materializes. With 6 bands of 20 bits the key space is
+    6 * 2^20 ~ 6.3M, so expected random-collision candidates are
+    ~6 * n^2 / 2^20 — sub-quadratic growth holds past 10^6 docs (see
+    tests/test_dedup.py::test_simhash_candidates_subquadratic).
     """
     assert max_hamming < n_bands
-    band_bits = SIMHASH_BITS // n_bands
+    assert n_bands % 2 == 0 and SIMHASH_BITS % (n_bands // 2) == 0
+    per_half = n_bands // 2
+    band_bits = SIMHASH_BITS // per_half
     fp = simhash_fingerprints(docs, id_col, text_col)
+
+    def band_val(bi: int) -> Column:
+        src = "fp1" if bi < per_half else "fp2"
+        shift = (bi % per_half) * band_bits
+        return F.shiftrightunsigned(F.col(src), shift).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
     bands = fp.select(
         "doc_id",
-        "fingerprint",
+        "fp1",
+        "fp2",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(bi).alias("band"),
-                    F.shiftrightunsigned(
-                        F.col("fingerprint"), bi * band_bits
-                    ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_val"),
+                    F.lit(bi).alias("band"), band_val(bi).alias("band_val")
                 )
                 for bi in range(n_bands)
             ])
         ).alias("bv"),
-    ).select("doc_id", "fingerprint", "bv.band", "bv.band_val")
+    ).select("doc_id", "fp1", "fp2", "bv.band", "bv.band_val")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -207,15 +254,65 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.fingerprint").alias("fp_a"),
-            F.col("b.fingerprint").alias("fp_b"),
+            F.col("a.fp1").alias("fp1_a"),
+            F.col("a.fp2").alias("fp2_a"),
+            F.col("b.fp1").alias("fp1_b"),
+            F.col("b.fp2").alias("fp2_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ham = F.bit_count(
+        F.col("fp1_a").bitwiseXOR(F.col("fp1_b"))
+    ) + F.bit_count(F.col("fp2_a").bitwiseXOR(F.col("fp2_b")))
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs the banded join proposes BEFORE the
+    hamming filter — instrumentation for the sub-quadratic-growth test."""
+    assert n_bands % 2 == 0 and SIMHASH_BITS % (n_bands // 2) == 0
+    per_half = n_bands // 2
+    band_bits = SIMHASH_BITS // per_half
+    fp = simhash_fingerprints(docs, id_col, text_col)
+
+    def band_val(bi: int) -> Column:
+        src = "fp1" if bi < per_half else "fp2"
+        shift = (bi % per_half) * band_bits
+        return F.shiftrightunsigned(F.col(src), shift).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"), band_val(bi).alias("band_val")
+                )
+                for bi in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

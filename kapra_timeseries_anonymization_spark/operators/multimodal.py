@@ -114,12 +114,16 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "this environment; plug them in here"
                 )
             out = []
-            for _, r in pdf.iterrows():
-                b = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+            # zip over numpy columns — no per-row pandas Series construction
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy()
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "n_bytes": len(b),
                         "mean_byte": float(b.mean()) if len(b) else 0.0,
                         "std_byte": float(b.std()) if len(b) else 0.0,
@@ -144,13 +148,13 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                b = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(b // (256 // dim), minlength=dim).astype(float)
                 s = hist.sum() or 1.0
-                out.append(
-                    {"media_id": r["media_id"], "features": list(hist / s)}
-                )
+                out.append({"media_id": mid, "features": list(hist / s)})
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -225,7 +225,10 @@ def events_rollup_1d_resumable(spark, sf):
     query: run 1 writes only the 1m tier (simulated death), run 2 resumes —
     skips 1m via the lineage anti-join, builds 1h/1d from the stored 1m.
     The returned stored 1d tier must still hash-match the direct-from-raw
-    oracle."""
+    oracle. The tier store lives in a session-scoped dir (cleaned at
+    process exit), so the returned DataFrame is a plain lazy parquet scan
+    — no driver-side collect round-trip."""
+    import atexit
     import shutil
     import tempfile
 
@@ -233,18 +236,14 @@ def events_rollup_1d_resumable(spark, sf):
 
     ev = read_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="kapra_tiers_")
-    try:
-        materialize_cascade(
-            spark, ev, base, ["event_type"], "ts", "value", tiers=("1m",)
-        )
-        materialize_cascade(
-            spark, ev, base, ["event_type"], "ts", "value", run_id="resume"
-        )
-        out = _tier_out(read_tier(spark, base, "1d").drop("p_date"))
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return out
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    materialize_cascade(
+        spark, ev, base, ["event_type"], "ts", "value", tiers=("1m",)
+    )
+    materialize_cascade(
+        spark, ev, base, ["event_type"], "ts", "value", run_id="resume"
+    )
+    return _tier_out(read_tier(spark, base, "1d").drop("p_date"))
 
 
 @q(
@@ -804,11 +803,17 @@ def doc_winnow_fingerprint(spark, sf):
 # --- near-duplicate suite -------------------------------------------------
 
 _SIMHASH_VOTES = "\n         , ".join(
-    f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+    f"sum(CASE WHEN (h1 & {1 << i}) != 0 THEN 1 ELSE -1 END) AS a{i}"
+    for i in range(SIMHASH_BITS)
+) + "\n         , " + "\n         , ".join(
+    f"sum(CASE WHEN (h2 & {1 << i}) != 0 THEN 1 ELSE -1 END) AS c{i}"
     for i in range(SIMHASH_BITS)
 )
-_SIMHASH_FP = " + ".join(
-    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+_SIMHASH_FP1 = " + ".join(
+    f"(CASE WHEN a{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+_SIMHASH_FP2 = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
 )
 
 
@@ -850,22 +855,25 @@ def doc_ngram_jaccard_pairs(spark, sf):
     ),
     h AS (
         SELECT doc_id,
-               CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+               CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substring(md5(word), 17, 15)) AS BIGINT) AS h2
         FROM w
     ),
     s AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
-    f AS (SELECT doc_id, {_SIMHASH_FP} AS fp FROM s)
-    SELECT a.doc_id                            AS id_a,
-           b.doc_id                            AS id_b,
-           bit_count(xor(a.fp, b.fp))::BIGINT  AS hamming
+    f AS (SELECT doc_id, {_SIMHASH_FP1} AS fp1, {_SIMHASH_FP2} AS fp2 FROM s)
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           (bit_count(xor(a.fp1, b.fp1))
+            + bit_count(xor(a.fp2, b.fp2)))::BIGINT AS hamming
     FROM f a JOIN f b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= 5
+    WHERE bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2)) <= 5
     """,
 )
 def doc_simhash_pairs(spark, sf):
-    """EXACT SimHash near-dup pairs (60-bit fingerprint, hamming <= 5) via
-    pigeonhole-banded self-join; oracle brute-forces all fingerprint
-    pairs."""
+    """EXACT SimHash near-dup pairs (120-bit fingerprint as two 60-bit
+    halves, hamming <= 5) via pigeonhole-banded self-join over 6 20-bit
+    bands (~6.3M join keys — sub-quadratic candidates at corpus scale);
+    oracle brute-forces all fingerprint pairs."""
     d = read_table(spark, sf, "documents")
     return simhash_pairs(d, max_hamming=5)
 
