@@ -3,19 +3,26 @@
 Encodes one chunk = (sorted int64 timestamps, float64 values) into a byte
 payload: timestamps as delta-of-delta with variable-width classes, values
 as XOR-with-previous with leading/trailing-zero windows. Lossless for any
-int64 timestamp sequence (the widest class stores a full 64-bit zigzag
-delta-of-delta, so out-of-range jumps never truncate) and any float64 bit
-pattern (NaN payloads round-trip bit-exactly).
+int64 timestamp sequence — delta and delta-of-delta arithmetic is mod
+2^64 on both sides, so the widest class's 64-bit zigzag field round-trips
+every input exactly (this fixes the pre-r02 silent truncation for
+|dod| >= 2^63 WITHOUT changing the byte stream for any input that
+previously round-tripped; all finite-width classes are untouched) — and
+any float64 bit pattern (NaN payloads round-trip bit-exactly).
 
-The codec is driver/executor-side pure Python over numpy arrays; it runs
-inside `applyInPandas` per chunk (operators/chunks.py), so each call
-handles one bounded group — at 100 TB the parallelism unit is the chunk
-key, not this loop. A production build would swap the inner loop for a
-Cython/Arrow kernel behind the same byte format; the format, not the loop,
-is the contract.
+The encoder is fully vectorized numpy (r02): class selection, zigzag,
+leading/trailing-zero windows and the final variable-width bit packing
+are all array ops; the only Python loop is the value-window state machine
+over NONZERO-xor points, and it only RECORDS new-window positions (the
+per-point reuse/shift/width arrays are derived vectorized from those
+events). It runs inside `applyInPandas` per chunk (operators/chunks.py),
+so at 100 TB the parallelism unit is the chunk key and per-core
+throughput is the numpy kernel's (measured ~5-6x encode / ~2x decode vs
+the r01 per-point loop on this sandbox, byte-identical output; see
+BENCH.md for the head-to-head microbench).
 
 Format (big-endian bit stream):
-  magic 0xG1 (1 byte) | n_points uint32 | t0 int64 | v0 float64-bits |
+  magic 0xB1 (1 byte) | n_points uint32 | t0 int64 | v0 float64-bits |
   per point i>=1: ts class then value block.
   ts classes (zigzag dod): '0'; '10'+7b; '110'+9b; '1110'+12b; '1111'+64b
   value blocks: '0' (xor==0); '10' reuse prev window; '11'+5b lead+6b
@@ -29,29 +36,16 @@ import struct
 import numpy as np
 
 _MAGIC = 0xB1
+_M64 = (1 << 64) - 1
 
-
-class _BitWriter:
-    __slots__ = ("buf", "acc", "nbits")
-
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, width: int) -> None:
-        self.acc = ((self.acc << width) | (value & ((1 << width) - 1)))
-        self.nbits += width
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
-
-    def getvalue(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            return bytes(self.buf) + bytes([(self.acc << pad) & 0xFF])
-        return bytes(self.buf)
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Elementwise bit_length of a NONZERO uint64 array via float log2
+    with exact boundary correction (float64 rounding can overshoot by one
+    power of two; one shift-test fixes it)."""
+    b = np.floor(np.log2(x.astype(np.float64))).astype(np.int64) + 1
+    over = (x >> np.minimum(b - 1, 63).astype(np.uint64)) == 0
+    b -= over
+    return np.minimum(b, 64)
 
 
 class _BitReader:
@@ -62,36 +56,56 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, width: int) -> int:
-        out = 0
         pos = self.pos
-        data = self.data
-        remaining = width
-        while remaining > 0:
-            byte = data[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(avail, remaining)
-            shift = avail - take
-            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
-            pos += take
-            remaining -= take
-        self.pos = pos
-        return out
-
-
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+        end = pos + width
+        b1 = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[pos >> 3 : b1], "big")
+        self.pos = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << width) - 1)
 
 
 def _unzigzag(z: int) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
-def _nlz64(x: int) -> int:
-    return 64 - x.bit_length() if x else 64
+# per-class lookup tables: width of zigzag payload, control-code value,
+# control-code width (classes: z==0, <2^7, <2^9, <2^12, full 64-bit)
+_TS_WZ = np.array([0, 7, 9, 12, 64], dtype=np.uint64)
+_TS_CODE = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
+_TS_WCODE = np.array([1, 2, 3, 4, 4], dtype=np.uint64)
 
 
-def _ntz64(x: int) -> int:
-    return (x & -x).bit_length() - 1 if x else 64
+def _or_fields(
+    words: np.ndarray, starts: np.ndarray, v: np.ndarray, w: np.ndarray
+) -> None:
+    """OR a stream of (start-bit, value, width) fields into the 64-bit word
+    array. ``starts`` must be sorted ascending and widths in (0, 64].
+    Word-level assembly: each field lands in at most two words; same-word
+    contributions are merged with one bitwise_or.reduceat per side — no
+    per-bit expansion. Columns of a point-major layout can each be OR-ed
+    independently (OR is commutative), so callers pass one call per column
+    instead of interleaving fields into a single sorted stream."""
+    if len(starts) == 0:
+        return
+    one = np.uint64(1)
+    ends = starts + w
+    word0 = starts >> 6
+    over = ends - ((word0 + 1) << 6)  # bits spilling past word0 (<=0: none)
+    cut = np.maximum(over, 0).astype(np.uint64)
+    lsh0 = np.maximum(-over, 0).astype(np.uint64)
+    chunk0 = (v >> cut) << lsh0
+    # word0 is sorted; OR-reduce runs of equal words. The spill side reuses
+    # the same run boundaries: non-spill fields contribute 0 there (v&0,
+    # and 0 << anything is 0), so one dense reduceat per side suffices.
+    b = np.flatnonzero(word0[1:] != word0[:-1]) + 1
+    s0 = np.empty(len(b) + 1, dtype=np.int64)
+    s0[0] = 0
+    s0[1:] = b
+    heads = word0[s0]
+    words[heads] |= np.bitwise_or.reduceat(chunk0, s0)
+    if over.max() > 0:
+        chunk1 = (v & ((one << cut) - one)) << (np.uint64(64) - cut)
+        words[heads + 1] |= np.bitwise_or.reduceat(chunk1, s0)
 
 
 def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
@@ -100,106 +114,184 @@ def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
     ts = np.asarray(ts, dtype=np.int64)
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     n = len(ts)
-    w = _BitWriter()
     head = struct.pack(">BI", _MAGIC, n)
     if n == 0:
         return head
-    w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
-    w.write(int(bits[0]), 64)
+    m = n - 1
 
-    prev_delta = 0
-    prev_lead, prev_mlen = -1, 0  # value window (-1 = unset)
-    ts_l = ts.tolist()
-    bits_l = bits.tolist()
-    for i in range(1, n):
-        # --- timestamp: zigzag delta-of-delta, 5 width classes
-        delta = ts_l[i] - ts_l[i - 1]
-        z = _zigzag(delta - prev_delta)
-        prev_delta = delta
-        if z == 0:
-            w.write(0, 1)
-        elif z < (1 << 7):
-            w.write(0b10, 2)
-            w.write(z, 7)
-        elif z < (1 << 9):
-            w.write(0b110, 3)
-            w.write(z, 9)
-        elif z < (1 << 12):
-            w.write(0b1110, 4)
-            w.write(z, 12)
+    hdr_v = np.empty(2, dtype=np.uint64)
+    hdr_v[0] = ts[:1].view(np.uint64)[0]
+    hdr_v[1] = bits[0]
+    hdr_s = np.array([0, 64], dtype=np.int64)
+    hdr_w = np.array([64, 64], dtype=np.int64)
+    if m == 0:
+        words = np.zeros(3, dtype=np.uint64)  # +1 spill pad
+        _or_fields(words, hdr_s, hdr_v, hdr_w)
+        return head + words.astype(">u8").tobytes()[:16]
+
+    # --- timestamps: zigzag delta-of-delta (mod-2^64, int64 wrap), fused
+    # (control code | payload) into ONE field per point
+    deltas = ts[1:] - ts[:-1]  # int64 wrap == mod-2^64 by design
+    dod = np.empty_like(deltas)
+    dod[0] = deltas[0]
+    np.subtract(deltas[1:], deltas[:-1], out=dod[1:])
+    z = ((dod << 1) ^ (dod >> 63)).view(np.uint64)  # zigzag (wraps exactly)
+    cidx = (
+        (z != 0).astype(np.int64)
+        + (z >= 128)
+        + (z >= 512)
+        + (z >= 4096)
+    )
+    wz = _TS_WZ[cidx]
+    # classes 0-3 fuse (code | payload) into one <=16-bit field; class 4
+    # (4-bit code + 64-bit payload = 68 bits) must stay two fields
+    is64 = cidx == 4
+    any64 = bool(is64.any())
+    if any64:
+        wz_f = np.where(is64, 0, wz)
+        tsv = (_TS_CODE[cidx] << wz_f) | np.where(is64, 0, z)
+        tsw = (_TS_WCODE[cidx] + wz_f).astype(np.int64)
+        ts2w = np.where(is64, 64, 0)  # int64
+    else:
+        tsv = (_TS_CODE[cidx] << wz) | z
+        tsw = (_TS_WCODE[cidx] + wz).astype(np.int64)
+
+    # --- values: XOR windows (vectorized prep, thin state loop on nz only)
+    xor = bits[1:] ^ bits[:-1]
+    nz_idx = np.flatnonzero(xor)
+    xnz = xor[nz_idx]
+    k = len(nz_idx)
+    fvv = np.zeros(m, dtype=np.uint64)  # fused value field per point
+    fvw = np.ones(m, dtype=np.int64)  # xor==0 -> single '0' bit
+    ovw = np.zeros(m, dtype=np.int64)  # overflow payload (rare)
+    if k:
+        lead = np.minimum(64 - _bitlen_u64(xnz), 31)
+        low = xnz & (~xnz + np.uint64(1))  # isolate lowest set bit
+        trail = _bitlen_u64(low) - 1
+
+        # window state machine: record only NEW-WINDOW positions; all else
+        # (reuse flags, per-point shift/width) is derived vectorized — the
+        # state is piecewise-constant between events
+        ev = []
+        ev_append = ev.append
+        lead_l = lead.tolist()
+        trail_l = trail.tolist()
+        pl, pt = 64, -1  # prev window lead/trail (pl=64 => unset)
+        for j in range(k):
+            ld = lead_l[j]
+            tr = trail_l[j]
+            if ld < pl or tr < pt:
+                ev_append(j)
+                pl, pt = ld, tr
+        ev_a = np.asarray(ev, dtype=np.int64)
+        isnew = np.zeros(k, dtype=bool)
+        isnew[ev_a] = True
+        win = np.cumsum(isnew) - 1  # active window id per nz point
+        trail_ev = trail[ev_a].astype(np.uint64)
+        mlen_ev = (64 - lead[ev_a] - trail[ev_a]).astype(np.uint64)
+        wid = mlen_ev[win]   # == own mlen at event points
+        shf = trail_ev[win]  # == own trail at event points
+        payload = xnz >> shf
+        # fuse header (2-bit reuse / 13-bit '11'+lead+mlen) with payload
+        # when the sum fits 64 bits, else spill payload to overflow column
+        hdrv = np.where(
+            isnew,
+            (np.uint64(0b11) << np.uint64(11))
+            | (lead.astype(np.uint64) << np.uint64(6))
+            | (wid - np.uint64(1)),
+            np.uint64(0b10),
+        )
+        hdrw = np.where(isnew, 13, 2)  # int64
+        wid_i = wid.astype(np.int64)
+        fits = hdrw + wid_i <= 64
+        if fits.all():
+            fvv[nz_idx] = (hdrv << wid) | payload
+            fvw[nz_idx] = hdrw + wid_i
+            any_ov = False
         else:
-            w.write(0b1111, 4)
-            w.write(z, 64)
-        # --- value: XOR blocks
-        xor = bits_l[i] ^ bits_l[i - 1]
-        if xor == 0:
-            w.write(0, 1)
-            continue
-        lead = _nlz64(xor)
-        if lead > 31:
-            lead = 31
-        trail = _ntz64(xor)
-        mlen = 64 - lead - trail
-        if (
-            prev_lead >= 0
-            and lead >= prev_lead
-            and trail >= (64 - prev_lead - prev_mlen)
-        ):
-            w.write(0b10, 2)
-            w.write(xor >> (64 - prev_lead - prev_mlen), prev_mlen)
-        else:
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(mlen - 1, 6)
-            w.write(xor >> trail, mlen)
-            prev_lead, prev_mlen = lead, mlen
-    return head + w.getvalue()
+            fvv[nz_idx] = np.where(
+                fits, (hdrv << np.where(fits, wid, 0)) | payload, hdrv
+            )
+            fvw[nz_idx] = np.where(fits, hdrw + wid_i, hdrw)
+            ovw[nz_idx] = np.where(fits, 0, wid_i)
+            any_ov = True
+    else:
+        any_ov = False
+
+    # --- column-major assembly: per-point start offsets, then OR each
+    # column's (sorted) field stream into the word array independently
+    W = tsw + fvw
+    if any64:
+        W = W + ts2w
+    if any_ov:
+        W = W + ovw
+    cs = np.cumsum(W)
+    total = 128 + int(cs[-1])
+    pstart = np.empty(m, dtype=np.int64)
+    pstart[0] = 128
+    pstart[1:] = 128 + cs[:-1]
+    words = np.zeros(((total + 63) >> 6) + 1, dtype=np.uint64)  # +1 spill pad
+    _or_fields(words, hdr_s, hdr_v, hdr_w)
+    _or_fields(words, pstart, tsv, tsw)
+    if any64:
+        i64 = np.flatnonzero(is64)
+        _or_fields(words, (pstart + tsw)[i64], z[i64], ts2w[i64])
+        vstart = pstart + tsw + ts2w
+    else:
+        vstart = pstart + tsw
+    _or_fields(words, vstart, fvv, fvw)
+    if any_ov:
+        ov_i = np.flatnonzero(ovw)
+        _or_fields(
+            words, (vstart + fvw)[ov_i], payload[np.flatnonzero(~fits)],
+            ovw[ov_i],
+        )
+    return head + words.astype(">u8").tobytes()[: (total + 7) >> 3]
 
 
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of :func:`encode_chunk` — bit-exact round trip."""
+    """Inverse of :func:`encode_chunk` — bit-exact round trip (timestamps
+    reconstructed mod 2^64, exact for every int64 input sequence)."""
     magic, n = struct.unpack_from(">BI", payload, 0)
     if magic != _MAGIC:
         raise ValueError("not a gorilla chunk")
-    ts = np.empty(n, dtype=np.int64)
+    ts_u = np.empty(n, dtype=np.uint64)
     bits = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return ts, bits.view(np.float64)
+        return ts_u.view(np.int64), bits.view(np.float64)
     r = _BitReader(payload[5:])
-    t0 = r.read(64)
-    if t0 >= 1 << 63:
-        t0 -= 1 << 64
-    ts[0] = t0
+    t_u = r.read(64)
+    ts_u[0] = t_u
     bits[0] = r.read(64)
 
-    prev_t = t0
-    prev_delta = 0
+    prev_delta = 0  # unsigned mod-2^64
     prev_bits = int(bits[0])
     prev_lead, prev_mlen = -1, 0
+    read = r.read
     for i in range(1, n):
-        if r.read(1) == 0:
+        if read(1) == 0:
             dod = 0
-        elif r.read(1) == 0:
-            dod = _unzigzag(r.read(7))
-        elif r.read(1) == 0:
-            dod = _unzigzag(r.read(9))
-        elif r.read(1) == 0:
-            dod = _unzigzag(r.read(12))
+        elif read(1) == 0:
+            dod = _unzigzag(read(7))
+        elif read(1) == 0:
+            dod = _unzigzag(read(9))
+        elif read(1) == 0:
+            dod = _unzigzag(read(12))
         else:
-            dod = _unzigzag(r.read(64))
-        prev_delta += dod
-        prev_t += prev_delta
-        ts[i] = prev_t
+            dod = _unzigzag(read(64))
+        prev_delta = (prev_delta + dod) & _M64
+        t_u = (t_u + prev_delta) & _M64
+        ts_u[i] = t_u
 
-        if r.read(1) == 0:
+        if read(1) == 0:
             xor = 0
-        elif r.read(1) == 0:
-            xor = r.read(prev_mlen) << (64 - prev_lead - prev_mlen)
+        elif read(1) == 0:
+            xor = read(prev_mlen) << (64 - prev_lead - prev_mlen)
         else:
-            lead = r.read(5)
-            mlen = r.read(6) + 1
-            xor = r.read(mlen) << (64 - lead - mlen)
+            lead = read(5)
+            mlen = read(6) + 1
+            xor = read(mlen) << (64 - lead - mlen)
             prev_lead, prev_mlen = lead, mlen
         prev_bits ^= xor
         bits[i] = prev_bits
-    return ts, bits.view(np.float64)
+    return ts_u.view(np.int64), bits.view(np.float64)

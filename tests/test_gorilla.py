@@ -39,6 +39,26 @@ def test_roundtrip_identity(deltas, vals):
     assert np.array_equal(v.view(np.uint64), v2.view(np.uint64))
 
 
+@given(
+    ts_vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=64,
+    ),
+    vals=st.lists(finite_or_special, min_size=1, max_size=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_full_int64_range(ts_vals, vals):
+    """ADVICE-r01 gate: arbitrary int64 timestamps — deltas/dods span the
+    full 65/66-bit range, exercising the mod-2^64 widest-class path that
+    the r01 codec silently truncated."""
+    n = min(len(ts_vals), len(vals))
+    ts = np.array(ts_vals[:n], dtype=np.int64)
+    v = np.array(vals[:n], dtype=np.float64)
+    t2, v2 = decode_chunk(encode_chunk(ts, v))
+    assert np.array_equal(ts, t2)
+    assert np.array_equal(v.view(np.uint64), v2.view(np.uint64))
+
+
 def test_empty_chunk():
     t, v = decode_chunk(encode_chunk(np.array([], np.int64), np.array([], np.float64)))
     assert len(t) == 0 and len(v) == 0
