@@ -41,13 +41,15 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from decimal import Decimal
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.sax_udfs import make_sax_levels_udf, pattern_loss_udf
-from .envelope import envelope_agg
+from .envelope import envelope_agg, merge_envelope_agg
 
 
 @dataclass
@@ -67,6 +69,84 @@ class KapraGroups:
     avg_vl: float
     avg_pl: float
     n_suppressed: int
+
+
+def _greedy_min_vl_merge(
+    saxes: list, levels: list, counts: list, los: list, his: list,
+    K: int, t: int,
+) -> list[dict]:
+    """Reference-exact phase-3 greedy merge over p-group SUMMARIES.
+
+    Inputs are parallel lists in the reference's p_groups formation order
+    (kapra_anonymization.py:185-244). Returns the final k-group list in
+    reference list order; each dict carries the dominating sax/level, the
+    merged envelope, total count, and ``pgs`` — the ORDERED list of input
+    indices whose concatenation order equals the reference's record
+    order (g.pgs + partner.pgs per merge). Shared by the driver-combo
+    path and the distributed fallback, so both replay identical
+    semantics: stable sort by size, first-min argmin via np.argmin,
+    size-tie domination -> partner, pop/append list order.
+
+    Slot-array layout instead of a list of dicts: each merge only
+    fancy-indexes the live slots (O(G*T) memcpy) rather than np.stack-ing
+    G python arrays per round.
+    """
+    G0 = len(saxes)
+    cap = 2 * G0 + 1  # every merge adds one slot, at most G0-1 merges
+    slot_lo = np.empty((cap, t), dtype=np.float64)
+    slot_hi = np.empty((cap, t), dtype=np.float64)
+    slot_count = np.empty(cap, dtype=np.int64)
+    slot_meta: list[dict] = [None] * cap  # sax, level, pgs per slot
+    for i in range(G0):
+        slot_lo[i] = los[i]
+        slot_hi[i] = his[i]
+        slot_count[i] = counts[i]
+        slot_meta[i] = {"sax": saxes[i], "level": levels[i], "pgs": [i]}
+    order: list[int] = list(range(G0))  # current reference list order
+    n_slots = G0
+    while True:
+        seq = np.asarray(order)
+        cnts = slot_count[seq]
+        inv_mask = cnts < K
+        if not inv_mask.any():
+            break
+        # stable sort by count -> first element = min count, earliest pos
+        inv_pos = np.flatnonzero(inv_mask)
+        pos = int(inv_pos[np.argmin(cnts[inv_pos])])
+        s_idx = order[pos]
+        mlo = np.minimum(slot_lo[seq], slot_lo[s_idx])
+        mhi = np.maximum(slot_hi[seq], slot_hi[s_idx])
+        costs = np.sqrt(((mhi - mlo) ** 2).sum(axis=1) / t)
+        costs[pos] = math.inf
+        best_pos = int(np.argmin(costs))  # first minimum == ref strict-<
+        if not math.isfinite(costs[best_pos]):
+            break  # no partner (reference: best_partner_idx == -1)
+        b_idx = order[best_pos]
+        g_meta, p_meta = slot_meta[s_idx], slot_meta[b_idx]
+        if slot_count[b_idx] >= slot_count[s_idx]:
+            dom_sax, dom_level = p_meta["sax"], p_meta["level"]
+        else:
+            dom_sax, dom_level = g_meta["sax"], g_meta["level"]
+        new = n_slots
+        n_slots += 1
+        slot_lo[new] = mlo[best_pos]
+        slot_hi[new] = mhi[best_pos]
+        slot_count[new] = slot_count[s_idx] + slot_count[b_idx]
+        slot_meta[new] = {
+            "sax": dom_sax,
+            "level": dom_level,
+            "pgs": g_meta["pgs"] + p_meta["pgs"],
+        }
+        i1, i2 = sorted([pos, best_pos], reverse=True)
+        order.pop(i1)
+        order.pop(i2)
+        order.append(new)
+    return [
+        {"sax": slot_meta[i]["sax"], "level": slot_meta[i]["level"],
+         "count": int(slot_count[i]), "lo": slot_lo[i].copy(),
+         "hi": slot_hi[i].copy(), "pgs": slot_meta[i]["pgs"]}
+        for i in order
+    ]
 
 
 class _Combo:
@@ -94,6 +174,7 @@ def kapra_anonymize(
     n_segments: int = 4,
     t: int | None = None,
     compute_pl: bool = True,
+    max_driver_combos: int = 5_000_000,
 ) -> KapraGroups:
     spark = df.sparkSession
     if t is None:
@@ -124,19 +205,17 @@ def kapra_anonymize(
         base.groupBy("combo_key").agg(F.min("original_index").alias("min_idx")),
         "combo_key",
     )
-    # driver-safety guard: the collect below is exact and tiny for real
-    # SAX pattern spaces (C bounded by the joint breakpoint-cell count);
-    # refuse clearly rather than OOM the driver if a caller feeds data
-    # whose pattern space approaches the row count
+    # driver-safety switch: the collect below is exact and tiny for real
+    # SAX pattern spaces (C bounded by the joint breakpoint-cell count).
+    # If a caller feeds data whose pattern space approaches the row count
+    # (near-unique PAA cells), fall back to the fully distributed
+    # phases-1+2 path — same semantics, no combo collect (VERDICT r01 #4)
     combo_df = combo_df.persist()
     n_combos = combo_df.count()
-    if n_combos > 5_000_000:
-        combo_df.unpersist()
-        base.unpersist()
-        raise ValueError(
-            f"pattern space too large to orchestrate on the driver "
-            f"({n_combos} distinct SAX vectors); lower sax_level / "
-            f"n_segments or pre-bucket the series"
+    if n_combos > max_driver_combos:
+        return _kapra_distributed(
+            spark, base, combo_df, K=K, P=P, sax_level=sax_level, t=t,
+            compute_pl=compute_pl,
         )
     combo_rows = combo_df.collect()
     combo_df.unpersist()
@@ -194,68 +273,19 @@ def kapra_anonymize(
         g["lo"] = np.minimum.reduce([c.lo for c in g["members"]])
         g["hi"] = np.maximum.reduce([c.hi for c in g["members"]])
 
-    # ---- Phase 3: reference-exact greedy merge (driver, vectorized argmin)
-    # Slot-array layout instead of a list of dicts: each merge only
-    # fancy-indexes the live slots (O(G*T) memcpy) rather than np.stack-ing
-    # G python arrays per round — semantics identical (order list replays
-    # the reference's pop/append list order; np.argmin returns the FIRST
-    # minimum in that order == the reference's strict-< scan).
-    G0 = len(p_groups)
-    cap = 2 * G0 + 1  # every merge adds one slot, at most G0-1 merges
-    slot_lo = np.empty((cap, t), dtype=np.float64)
-    slot_hi = np.empty((cap, t), dtype=np.float64)
-    slot_count = np.empty(cap, dtype=np.int64)
-    slot_meta: list[dict] = [None] * cap  # sax, level, pgs per slot
-    for i, g in enumerate(p_groups):
-        slot_lo[i] = g["lo"]
-        slot_hi[i] = g["hi"]
-        slot_count[i] = g["count"]
-        slot_meta[i] = {"sax": g["sax"], "level": g["level"], "pgs": [g]}
-    order: list[int] = list(range(G0))  # current reference list order
-    n_slots = G0
-    while True:
-        seq = np.asarray(order)
-        counts = slot_count[seq]
-        inv_mask = counts < K
-        if not inv_mask.any():
-            break
-        # stable sort by count -> first element = min count, earliest pos
-        inv_pos = np.flatnonzero(inv_mask)
-        pos = int(inv_pos[np.argmin(counts[inv_pos])])
-        s_idx = order[pos]
-        mlo = np.minimum(slot_lo[seq], slot_lo[s_idx])
-        mhi = np.maximum(slot_hi[seq], slot_hi[s_idx])
-        costs = np.sqrt(((mhi - mlo) ** 2).sum(axis=1) / t)
-        costs[pos] = math.inf
-        best_pos = int(np.argmin(costs))  # first minimum == ref strict-<
-        if not math.isfinite(costs[best_pos]):
-            break  # no partner (reference: best_partner_idx == -1)
-        b_idx = order[best_pos]
-        g_meta, p_meta = slot_meta[s_idx], slot_meta[b_idx]
-        if slot_count[b_idx] >= slot_count[s_idx]:
-            dom_sax, dom_level = p_meta["sax"], p_meta["level"]
-        else:
-            dom_sax, dom_level = g_meta["sax"], g_meta["level"]
-        new = n_slots
-        n_slots += 1
-        slot_lo[new] = mlo[best_pos]
-        slot_hi[new] = mhi[best_pos]
-        slot_count[new] = slot_count[s_idx] + slot_count[b_idx]
-        slot_meta[new] = {
-            "sax": dom_sax,
-            "level": dom_level,
-            "pgs": g_meta["pgs"] + p_meta["pgs"],
-        }
-        i1, i2 = sorted([pos, best_pos], reverse=True)
-        order.pop(i1)
-        order.pop(i2)
-        order.append(new)
-    groups = [
-        {"sax": slot_meta[i]["sax"], "level": slot_meta[i]["level"],
-         "count": int(slot_count[i]), "lo": slot_lo[i], "hi": slot_hi[i],
-         "pgs": slot_meta[i]["pgs"]}
-        for i in order
-    ]
+    # ---- Phase 3: reference-exact greedy merge (driver, vectorized
+    # argmin) over p-group summaries — shared helper, semantics identical
+    # (order list replays the reference's pop/append list order;
+    # np.argmin returns the FIRST minimum == the reference's strict-<
+    # scan)
+    groups = _greedy_min_vl_merge(
+        [g["sax"] for g in p_groups],
+        [g["level"] for g in p_groups],
+        [g["count"] for g in p_groups],
+        [g["lo"] for g in p_groups],
+        [g["hi"] for g in p_groups],
+        K, t,
+    )
 
     # ---- finalize: GroupID = position+1; broadcast assignment map back
     out_groups: list[dict] = []
@@ -269,7 +299,8 @@ def kapra_anonymize(
         )
         lo_l = [float(x) for x in kg["lo"]]
         hi_l = [float(x) for x in kg["hi"]]
-        for p_order, pg in enumerate(kg["pgs"]):
+        for p_order, pgi in enumerate(kg["pgs"]):
+            pg = p_groups[pgi]
             # within-p-group record order = (chain, original_index); equal
             # chains interleave by index, so c_order is the DENSE rank of
             # the chain among this p-group's combos
@@ -324,4 +355,219 @@ def kapra_anonymize(
         avg_pl = float("nan")
     base.unpersist()
 
+    return KapraGroups(records, out_groups, avg_vl, avg_pl, n_suppressed)
+
+
+def _kapra_distributed(
+    spark,
+    base: DataFrame,
+    combo_df: DataFrame,
+    K: int,
+    P: int,
+    sax_level: int,
+    t: int,
+    compute_pl: bool,
+    max_driver_groups: int = 2_000_000,
+) -> KapraGroups:
+    """Distributed phases 1+2 for pattern spaces too large to collect.
+
+    Replays the reference recycle loop (kapra_anonymization.py:105-176)
+    with the COMBOS staying distributed: each pass is one groupBy on the
+    level-l word + two rank windows; per-combo order metadata (`ordk`, the
+    newest-rank-first chain string) reproduces the reference's
+    bad_records list order exactly, so p-group formation order, record
+    c_order and the phase-3 greedy merge are identical to the driver-combo
+    path (exactness asserted in tests/test_kapra_parity.py by forcing
+    max_driver_combos=1 on the same input). Driver state is O(G) p-group
+    summaries — never O(C) combos.
+
+    Scale shape per pass: one hash-agg shuffle over surviving bad combos,
+    two single-task rank windows over G_pass group rows (bounded by the
+    level-l word space), one broadcast-or-shuffle join back (AQE
+    decides), then an eager localCheckpoint that both truncates the
+    iterative plan and yields the loop-control count. The final phase-3
+    merge runs on G p-group summaries (the reference algorithm itself is
+    O(G^2) there, so a G cap is inherent to the semantics, not to this
+    engine; ``max_driver_groups`` makes it explicit).
+    """
+    levels = list(range(sax_level, 2, -1))
+    # order-preserving 20-digit encoding of int64 min_idx (offset to
+    # unsigned; decimal arithmetic avoids int64 overflow)
+    idx_ord = F.lpad(
+        (
+            F.col("min_idx").cast("decimal(20,0)")
+            + F.lit(Decimal(2**63))
+        ).cast("decimal(20,0)").cast("string"),
+        20, "0",
+    )
+    bad = (
+        combo_df.select(
+            "combo_key", "sax_vec", "count", "lower", "upper",
+            F.lit("").alias("ordk"), idx_ord.alias("idx_ord"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned_parts: list[DataFrame] = []
+    caches: list[DataFrame] = [bad]
+    n_suppressed = 0
+    for pass_idx, level in enumerate(levels):
+        word = F.col("sax_vec").getItem(level - 3)
+        b2 = bad.withColumn("w", word)
+        grp = (
+            b2.groupBy("w")
+            .agg(
+                F.sum("count").alias("total"),
+                F.min(F.concat("ordk", "idx_ord")).alias("fp"),
+            )
+            .select(
+                "w", "total",
+                (F.row_number().over(Window.orderBy("fp")) - 1).alias("g_rank"),
+            )
+            .localCheckpoint(eager=True)  # G_pass rows; truncates plans
+        )
+        caches.append(grp)
+        good = grp.filter(F.col("total") >= P).select(
+            "w", "total",
+            (F.row_number().over(Window.orderBy("g_rank")) - 1).alias("p_rank"),
+        )
+        exited = b2.join(good, "w").select(
+            "combo_key", "count", "lower", "upper", "ordk",
+            F.lit(pass_idx).alias("pass"), "p_rank",
+            F.col("w").alias("g_sax"), F.lit(level).alias("g_level"),
+            F.col("w").alias("r_sax"), F.lit(level).alias("r_level"),
+        )
+        assigned_parts.append(exited.localCheckpoint(eager=False))
+        bad = (
+            b2.join(grp.filter(F.col("total") < P).select("w", "g_rank"), "w")
+            .select(
+                "combo_key", "sax_vec", "count", "lower", "upper",
+                F.concat(
+                    F.lpad(F.col("g_rank").cast("string"), 12, "0"),
+                    F.col("ordk"),
+                ).alias("ordk"),
+                "idx_ord",
+            )
+            .localCheckpoint(eager=True)
+        )
+        caches.append(bad)
+        if bad.isEmpty():
+            break
+
+    n_bad = bad.agg(F.sum("count")).first()[0] or 0
+    if n_bad > 0:
+        if n_bad >= P:
+            # '*' residue group, formed LAST; records keep their level-3
+            # word at level 3 (reference :163-169)
+            assigned_parts.append(
+                bad.select(
+                    "combo_key", "count", "lower", "upper", "ordk",
+                    F.lit(sax_level).alias("pass"), F.lit(0).alias("p_rank"),
+                    F.lit("*").alias("g_sax"), F.lit(0).alias("g_level"),
+                    F.col("sax_vec").getItem(0).alias("r_sax"),
+                    F.lit(3).alias("r_level"),
+                )
+            )
+        else:
+            n_suppressed = int(n_bad)
+
+    if not assigned_parts:
+        raise ValueError("no records survived P-grouping")
+    assigned = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        assigned = assigned.unionByName(p)
+    assigned = assigned.persist()
+
+    # ---- p-group summaries -> driver greedy merge (O(G), not O(C))
+    summ = (
+        merge_envelope_agg(assigned, ["pass", "p_rank"], t)
+        .join(
+            assigned.groupBy("pass", "p_rank").agg(
+                F.first("g_sax").alias("g_sax"),
+                F.first("g_level").alias("g_level"),
+            ),
+            ["pass", "p_rank"],
+        )
+    )
+    n_groups_total = summ.count()
+    if n_groups_total > max_driver_groups:
+        assigned.unpersist()
+        combo_df.unpersist()
+        base.unpersist()
+        raise ValueError(
+            f"{n_groups_total} p-groups exceed max_driver_groups="
+            f"{max_driver_groups}; the reference's phase-3 greedy merge "
+            f"is O(G^2) and intractable at this G under ANY engine"
+        )
+    rows = summ.orderBy("pass", "p_rank").collect()
+    groups = _greedy_min_vl_merge(
+        [r["g_sax"] for r in rows],
+        [int(r["g_level"]) for r in rows],
+        [int(r["count"]) for r in rows],
+        [np.asarray(r["lower"], dtype=np.float64) for r in rows],
+        [np.asarray(r["upper"], dtype=np.float64) for r in rows],
+        K, t,
+    )
+
+    out_groups: list[dict] = []
+    map_rows: list[tuple] = []
+    for gid0, kg in enumerate(groups):
+        diff = kg["hi"] - kg["lo"]
+        vl = math.sqrt(float(np.sum(diff**2)) / t)
+        out_groups.append(
+            {"sax": kg["sax"], "level": kg["level"], "count": kg["count"],
+             "lower": kg["lo"], "upper": kg["hi"], "vl": vl}
+        )
+        lo_l = [float(x) for x in kg["lo"]]
+        hi_l = [float(x) for x in kg["hi"]]
+        for p_order, pgi in enumerate(kg["pgs"]):
+            r = rows[pgi]
+            map_rows.append(
+                (int(r["pass"]), int(r["p_rank"]), gid0 + 1, p_order,
+                 lo_l, hi_l, vl)
+            )
+    map_df = spark.createDataFrame(
+        map_rows,
+        "pass int, p_rank int, group_id int, p_order int, "
+        "k_lower array<double>, k_upper array<double>, k_vl double",
+    )
+
+    # c_order = dense rank of the chain within the p-group (newest rank
+    # first == the reference's ch[::-1] comparison); distributed window
+    # partitioned by p-group
+    wc = Window.partitionBy("pass", "p_rank").orderBy("ordk")
+    rec_map = (
+        assigned.withColumn("c_order", F.dense_rank().over(wc) - 1)
+        .join(F.broadcast(map_df), ["pass", "p_rank"])
+        .select(
+            "combo_key", "group_id",
+            F.col("r_sax").alias("pattern"),
+            F.col("r_level").alias("level"),
+            F.col("k_lower").alias("lower"),
+            F.col("k_upper").alias("upper"),
+            F.col("k_vl").alias("vl"),
+            "p_order", "c_order",
+        )
+    )
+    # shuffle join on combo_key: both sides are C-sized — never broadcast
+    records = base.join(rec_map, "combo_key").select(
+        "original_index", "group_id", "pattern", "level", "values",
+        "lower", "upper", "vl", "p_order", "c_order",
+    )
+    if compute_pl:
+        records = records.withColumn(
+            "pl", pattern_loss_udf(F.col("values"), F.col("pattern"), F.col("level"))
+        )
+    records = records.persist()
+
+    avg_vl = float(np.mean([g["vl"] for g in out_groups])) if out_groups else 0.0
+    if compute_pl:
+        row = records.agg(
+            F.sum("pl").alias("s"), F.count(F.lit(1)).alias("c")
+        ).first()
+        avg_pl = (row["s"] or 0.0) / row["c"] if row["c"] else 0.0
+    else:
+        avg_pl = float("nan")
+    assigned.unpersist()
+    combo_df.unpersist()
+    base.unpersist()
     return KapraGroups(records, out_groups, avg_vl, avg_pl, n_suppressed)
