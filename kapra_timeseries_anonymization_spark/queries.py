@@ -602,17 +602,41 @@ def kapra_output_table(spark, sf):
 
 @q("kapra_grid_search", None)
 def kapra_grid_search(spark, sf):
-    """Hyper-parameter sweep (reference optimize_kapra entry point): 4
-    configs over the transcript turn-rate series via a driver thread pool,
-    min-max scored. Rows-only: losses are KAPRA-UDF products (pytest
-    oracle covers exactness per config)."""
+    """Hyper-parameter sweep (reference optimize_kapra entry point): the
+    VERDICT-r01 12-config subset (K in {5,10} x P in {2,3} x L in
+    {3,5,8}) over the transcript turn-rate series via a driver thread
+    pool, min-max scored. Rows-only: losses are KAPRA-UDF products;
+    reference-CSV parity per config is enforced in
+    tests/test_grid_parity.py and the full 96-config sweep is recorded
+    in GRID_PARITY.md (tools/grid_parity.py)."""
+    from .plans.optimize import run_grid, score_results
+
+    t = transcripts_from_events(spark, sf)
+    series = conv_turn_rate_series(t, n_buckets=8)
+    configs = [
+        (k, p, lv) for k in (5, 10) for p in (2, 3) for lv in (3, 5, 8)
+    ]
+    results = run_grid(series, configs, algo="kapra", parallelism=4)
+    top = score_results(results, top=len(configs))
+    return spark.createDataFrame(
+        [(d["k"], d["p"], d["level"], d["vl"], d["pl"], d["score"]) for d in top],
+        "k int, p int, level int, vl double, pl double, score double",
+    )
+
+
+@q("naive_grid_search", None)
+def naive_grid_search(spark, sf):
+    """Hyper-parameter sweep for the naive top-down pipeline (reference
+    optimize_naive entry point): 4 configs over the transcript turn-rate
+    series, min-max scored. Rows-only: oracle parity per config is in
+    tests/test_grid_parity.py::test_naive_grid_matches_oracle."""
     from .plans.optimize import run_grid, score_results
 
     t = transcripts_from_events(spark, sf)
     series = conv_turn_rate_series(t, n_buckets=8)
     results = run_grid(
-        series, [(5, 2, 5), (5, 3, 8), (10, 2, 8), (10, 3, 5)],
-        algo="kapra", parallelism=4,
+        series, [(5, 2, 5), (5, 3, 8), (10, 2, 10), (10, 3, 5)],
+        algo="naive", parallelism=2,
     )
     top = score_results(results, top=4)
     return spark.createDataFrame(
