@@ -600,6 +600,19 @@ def kapra_output_table(spark, sf):
     return out.orderBy("GroupID", "original_index")
 
 
+@q("plot_cluster_envelope", None)
+def plot_cluster_envelope(spark, sf):
+    """generate_plots analogue (reference src/generate_plots.py:69-148):
+    reference-shaped KAPRA output -> the selected cluster's per-timestamp
+    (t, lower, upper) envelope rows — the exact data the fill_between
+    figure consumes, parsed back from '[lo-hi]' interval strings with
+    JVM-side regexps (M8). Rows-only (input is a UDF-pipeline product);
+    parse/selection exactness is pytest-gated in tests/test_plots.py."""
+    from .plans.plots import cluster_envelope_data
+
+    return cluster_envelope_data(kapra_output_table(spark, sf))
+
+
 @q("kapra_grid_search", None)
 def kapra_grid_search(spark, sf):
     """Hyper-parameter sweep (reference optimize_kapra entry point): the
