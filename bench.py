@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_latency_stats",
     "events_activity_envelope",
     "doc_dedup_exact",
+    "doc_simhash_pairs",
     "doc_token_stats",
     "emb_cosine_topk",
     "transcripts_turn_rate_1m",
@@ -92,7 +93,18 @@ def main() -> None:
 
         out = {}
         for n in levels:
-            spark = build_session(f"bench-scaling-{n}", master=f"local[{n}]")
+            spark = build_session(
+                f"bench-scaling-{n}",
+                master=f"local[{n}]",
+                extra_conf={
+                    # pre-fault the heap once: this sandbox's page-fault
+                    # path is ~0.3 GB/s per process (measured, BENCH.md),
+                    # so on-demand heap growth taxes every shuffle buffer
+                    "spark.driver.extraJavaOptions":
+                        "-XX:+AlwaysPreTouch -Xms"
+                        + os.environ.get("SPARK_DRIVER_MEM", "8g"),
+                },
+            )
             # setup OUTSIDE the timed region: a real engine reads a stored
             # table, so the deterministic generator is materialized first
             t = synth_transcripts(spark, n_convs=n_convs, mean_turns=24)
@@ -108,19 +120,43 @@ def main() -> None:
                 n_series = pipeline(t)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            # stage decomposition: derive (shuffle-bound) vs anonymize
+            # (UDF-compute-bound) — on one box the shuffle path shares a
+            # single memory bus / page-fault path across "executors", so
+            # per-stage efficiency is the honest scaling signal
+            t0 = time.perf_counter()
+            series = conv_turn_rate_series(t, n_buckets=8).persist()
+            series.count()
+            derive_dt = time.perf_counter() - t0
+            anon_best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+                res.records.count()
+                dt = time.perf_counter() - t0
+                res.records.unpersist()
+                anon_best = dt if anon_best is None else min(anon_best, dt)
+            series.unpersist()
             t.unpersist()
             out[f"local[{n}]"] = {
                 "sec": round(best, 3),
                 "turns": turns,
                 "series": n_series,
                 "turns_per_sec": round(turns / best, 1),
+                "derive_sec": round(derive_dt, 3),
+                "anonymize_sec": round(anon_best, 3),
             }
             spark.stop()
         lo, hi = f"local[{levels[0]}]", f"local[{levels[-1]}]"
-        eff = (out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / (
-            levels[-1] / levels[0]
-        )
+        ratio = levels[-1] / levels[0]
+        eff = (out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / ratio
         out["scaling_efficiency"] = round(eff, 3)
+        out["derive_efficiency"] = round(
+            out[lo]["derive_sec"] / out[hi]["derive_sec"] / ratio, 3
+        )
+        out["anonymize_efficiency"] = round(
+            out[lo]["anonymize_sec"] / out[hi]["anonymize_sec"] / ratio, 3
+        )
         out["input"] = f"synth_transcripts(n_convs={n_convs}, mean_turns=24)"
         print(json.dumps(out))
         return

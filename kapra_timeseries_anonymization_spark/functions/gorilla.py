@@ -74,6 +74,13 @@ _TS_WZ = np.array([0, 7, 9, 12, 64], dtype=np.uint64)
 _TS_CODE = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
 _TS_WCODE = np.array([1, 2, 3, 4, 4], dtype=np.uint64)
 
+#: decoder class lookup by the 4-bit window at the control position:
+#: '0xxx' -> (1 ctrl bit, 0 payload); '10xx' -> (2,7); '110x' -> (3,9);
+#: '1110' -> (4,12); '1111' -> (4,64)
+_TS_CLS = [
+    (1, 0)] * 8 + [(2, 7)] * 4 + [(3, 9)] * 2 + [(4, 12), (4, 64)
+]
+
 
 def _or_fields(
     words: np.ndarray, starts: np.ndarray, v: np.ndarray, w: np.ndarray
@@ -249,49 +256,111 @@ def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
     return head + words.astype(">u8").tobytes()[: (total + 7) >> 3]
 
 
+def _extract_fields(
+    pad: np.ndarray, pos: np.ndarray, w: np.ndarray
+) -> np.ndarray:
+    """Vectorized extraction of (bit-pos, width<=64) fields from a
+    zero-padded byte array: gather an 8-byte big-endian window per field,
+    shift out the offset, OR in the up-to-7 spill bits from the 9th
+    byte. Width-0 entries yield 0."""
+    b0 = (pos >> 3).astype(np.int64)
+    win = pad[b0[:, None] + np.arange(8)]
+    u64 = (
+        win.astype(np.uint64)
+        << np.arange(56, -1, -8, dtype=np.uint64)
+    ).sum(axis=1, dtype=np.uint64)
+    off = (pos & 7).astype(np.uint64)
+    wsafe = np.maximum(w, 1).astype(np.uint64)
+    main = (u64 << off) >> (np.uint64(64) - wsafe)
+    extra = np.maximum(off.astype(np.int64) + w - 64, 0).astype(np.uint64)
+    b8 = pad[b0 + 8].astype(np.uint64)
+    spill = (b8 >> (np.uint64(8) - extra)) & ((np.uint64(1) << extra) - 1)
+    # when the field spills past the window, `main` already carries the
+    # high part left-aligned with `extra` zero bits below — plain OR
+    out = main | spill
+    return np.where(w > 0, out, np.uint64(0))
+
+
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_chunk` — bit-exact round trip (timestamps
-    reconstructed mod 2^64, exact for every int64 input sequence)."""
+    reconstructed mod 2^64, exact for every int64 input sequence).
+
+    Two-phase (r02): a thin sequential scan reads ONLY control/window
+    bits to locate every variable-width field, then numpy extracts all
+    payloads at once; dod -> delta -> ts is a double cumsum (mod 2^64)
+    and the value chain is one bitwise_xor.accumulate."""
     magic, n = struct.unpack_from(">BI", payload, 0)
     if magic != _MAGIC:
         raise ValueError("not a gorilla chunk")
-    ts_u = np.empty(n, dtype=np.uint64)
-    bits = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return ts_u.view(np.int64), bits.view(np.float64)
-    r = _BitReader(payload[5:])
-    t_u = r.read(64)
-    ts_u[0] = t_u
-    bits[0] = r.read(64)
-
-    prev_delta = 0  # unsigned mod-2^64
-    prev_bits = int(bits[0])
-    prev_lead, prev_mlen = -1, 0
-    read = r.read
-    for i in range(1, n):
-        if read(1) == 0:
-            dod = 0
-        elif read(1) == 0:
-            dod = _unzigzag(read(7))
-        elif read(1) == 0:
-            dod = _unzigzag(read(9))
-        elif read(1) == 0:
-            dod = _unzigzag(read(12))
+        e = np.empty(0, dtype=np.uint64)
+        return e.view(np.int64), e.view(np.float64)
+    data = payload[5:]
+    r = _BitReader(data)
+    t0u = r.read(64)
+    v0 = r.read(64)
+    if n == 1:
+        return (
+            np.array([t0u], dtype=np.uint64).view(np.int64),
+            np.array([v0], dtype=np.uint64).view(np.float64),
+        )
+    m = n - 1
+    zpos = [0] * m
+    zw = [0] * m
+    vpos = [0] * m
+    vw = [0] * m
+    vsh = [0] * m
+    # inline control-bit scan: 24-bit byte windows + a 16-entry class
+    # lookup — no per-bit method calls in the hot loop
+    buf = data + b"\x00" * 8
+    pos = 128
+    pl, pm = 0, 0  # current value window (valid after first '11')
+    for i in range(m):
+        byi = pos >> 3
+        win = (buf[byi] << 16) | (buf[byi + 1] << 8) | buf[byi + 2]
+        wc, w_ = _TS_CLS[(win >> (20 - (pos & 7))) & 0xF]
+        pos += wc
+        if w_:
+            zpos[i] = pos
+            zw[i] = w_
+            pos += w_
+        byi = pos >> 3
+        win = (buf[byi] << 8) | buf[byi + 1]
+        two = (win >> (14 - (pos & 7))) & 3
+        if two < 2:  # '0': xor == 0, one control bit
+            pos += 1
         else:
-            dod = _unzigzag(read(64))
-        prev_delta = (prev_delta + dod) & _M64
-        t_u = (t_u + prev_delta) & _M64
-        ts_u[i] = t_u
+            pos += 2
+            if two == 3:  # '11': new window header (5b lead + 6b mlen-1)
+                byi = pos >> 3
+                w3 = (buf[byi] << 16) | (buf[byi + 1] << 8) | buf[byi + 2]
+                h = (w3 >> (13 - (pos & 7))) & 0x7FF
+                pos += 11
+                pl = h >> 6
+                pm = (h & 63) + 1
+            vpos[i] = pos
+            vw[i] = pm
+            vsh[i] = 64 - pl - pm
+            pos += pm
 
-        if read(1) == 0:
-            xor = 0
-        elif read(1) == 0:
-            xor = read(prev_mlen) << (64 - prev_lead - prev_mlen)
-        else:
-            lead = read(5)
-            mlen = read(6) + 1
-            xor = read(mlen) << (64 - lead - mlen)
-            prev_lead, prev_mlen = lead, mlen
-        prev_bits ^= xor
-        bits[i] = prev_bits
+    pad = np.frombuffer(data + b"\x00" * 16, dtype=np.uint8)
+    zpos_a = np.asarray(zpos, dtype=np.int64)
+    zw_a = np.asarray(zw, dtype=np.int64)
+    z = _extract_fields(pad, zpos_a, zw_a)
+    one = np.uint64(1)
+    dod = (z >> one) ^ (np.uint64(0) - (z & one))  # unzigzag, mod-2^64
+    delta = np.cumsum(dod)  # uint64 wraps == mod-2^64
+    ts_u = np.empty(n, dtype=np.uint64)
+    ts_u[0] = t0u
+    ts_u[1:] = np.uint64(t0u) + np.cumsum(delta)
+
+    xorp = _extract_fields(
+        pad, np.asarray(vpos, dtype=np.int64), np.asarray(vw, dtype=np.int64)
+    )
+    xor = xorp << np.asarray(vsh, dtype=np.uint64)
+    bits = np.empty(n, dtype=np.uint64)
+    bits[0] = v0
+    np.bitwise_xor.accumulate(
+        np.concatenate([bits[:1], xor]), out=bits
+    )
     return ts_u.view(np.int64), bits.view(np.float64)

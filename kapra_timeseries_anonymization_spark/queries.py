@@ -910,8 +910,12 @@ def doc_simhash_pairs(spark, sf):
     """EXACT SimHash near-dup pairs (120-bit fingerprint as two 60-bit
     halves, hamming <= 5) via pigeonhole-banded self-join over 6 20-bit
     bands (~6.3M join keys — sub-quadratic candidates at corpus scale);
-    oracle brute-forces all fingerprint pairs."""
+    oracle brute-forces all fingerprint pairs. The testdata table is a
+    single parquet file, so spread docs across cores first — the 120-sum
+    vote aggregate is the heavy map side (a real corpus arrives in many
+    splits and needs no repartition)."""
     d = read_table(spark, sf, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return simhash_pairs(d, max_hamming=5)
 
 
