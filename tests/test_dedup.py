@@ -201,3 +201,56 @@ def test_embedding_neardup_pairs_bruteforce(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_minhash_lsh_candidates_subquadratic(spark):
+    """Scale-shape gate for the 100 TB dedup path: on 20k distinct docs
+    the LSH band-bucket join must propose ~O(n) candidates (random
+    16-band/4-row collisions are ~n^2 * 16 / P^4 ~ 0 for distinct docs),
+    not all-pairs. Mirrors the SimHash sub-quadratic gate."""
+    from pyspark.sql import functions as F
+
+    from kapra_timeseries_anonymization_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f":w{w}")))
+                for w in range(12)
+            ],
+        ).alias("text"),
+    )
+    sig = minhash_signatures(base)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("sig")[bi * 4 + r].cast("string")
+                               for r in range(4)]
+                    ).alias("band_key"),
+                )
+                for bi in range(16)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < n, f"candidate blowup: {n_cand} pairs for n={n}"
