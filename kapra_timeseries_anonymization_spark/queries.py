@@ -970,6 +970,25 @@ def emb_ann_topk(spark, sf):
     return ann_query(idx, qrow[1], k=10, n_planes=6, exclude_id=qrow[0])
 
 
+@q("emb_ivf_topk", None)
+def emb_ivf_topk(spark, sf):
+    """IVF (k-means inverted-file) ANN top-10 for the first vector — the
+    data-adaptive sibling of the hyperplane index (task brief: "an IVF or
+    LSH-bucketed variant as the scale path"; this engine ships BOTH).
+    Rows-only: k-means assignment is seed-deterministic but not
+    SQL-expressible; recall >= 0.8 is asserted in tests/test_ann.py."""
+    from .operators.ann import ivf_index, ivf_query
+
+    e = read_table(spark, sf, "embeddings")
+    qrow = (
+        e.orderBy("vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .first()
+    )
+    idx, cents = ivf_index(e, n_lists=16)
+    return ivf_query(idx, cents, qrow[1], k=10, n_probe=4, exclude_id=qrow[0])
+
+
 @q(
     "emb_neardup_pairs",
     """

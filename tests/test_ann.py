@@ -65,3 +65,55 @@ def test_bucket_expr_matches_numpy(spark, clustered):
     for i in range(0, 400, 37):
         want = int(sum((1 << p) for p in range(6) if planes[p] @ vecs[i] > 0))
         assert got[i] == want
+
+
+def test_ivf_recall_vs_bruteforce(spark, clustered):
+    """IVF probe over 4/16 lists must recover >= 0.8 of the exact top-10
+    on clustered vectors (the coarse quantizer adapts to the clusters, so
+    a query's cluster-mates live in its nearest lists)."""
+    from kapra_timeseries_anonymization_spark.operators.ann import (
+        ivf_index,
+        ivf_query,
+    )
+
+    df, vecs = clustered
+    idx, cents = ivf_index(df, n_lists=16)
+    idx = idx.persist()
+    assert cents.shape == (16, 16)
+    recalls = []
+    for qid in (0, 5, 11):
+        q = vecs[qid]
+        want = {
+            r["vec_id"]
+            for r in brute_force_topk(df, q, k=10, exclude_id=qid).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivf_query(idx, cents, q, k=10, n_probe=4,
+                               exclude_id=qid).collect()
+        }
+        recalls.append(len(got & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    idx.unpersist()
+
+
+def test_ivf_probe_prunes_lists(spark, clustered):
+    """A 4-of-16 probe must touch a strict subset of the corpus — the
+    candidate set is bounded by the probed lists' sizes."""
+    from kapra_timeseries_anonymization_spark.operators.ann import (
+        ivf_index,
+        ivf_query,
+    )
+    from pyspark.sql import functions as F
+
+    df, vecs = clustered
+    idx, cents = ivf_index(df, n_lists=16)
+    idx = idx.persist()
+    q = vecs[3]
+    d = ((cents - q / np.linalg.norm(q)) ** 2).sum(axis=1)
+    probe = set(int(i) for i in np.argsort(d)[:4])
+    n_cand = idx.filter(F.col("list_id").isin(list(probe))).count()
+    assert 0 < n_cand < 400
+    got = ivf_query(idx, cents, q, k=10, n_probe=4, exclude_id=3).collect()
+    assert len(got) == 10
+    idx.unpersist()
