@@ -59,10 +59,16 @@ def test_stateful_sessionization(spark, tmp_path):
         # an empty follow-up batch is needed to evaluate timeouts, so add
         # a late third conversation
         time.sleep(5)
-        write(pdf.head(1).assign(conv_id="c", text="late"), "append")
-        deadline = time.time() + 60
+        # processing-time timeouts only fire when a micro-batch runs, so
+        # keep poking the source with tick conversations (robust to CPU
+        # contention when the whole suite runs concurrently)
+        tick = 0
+        deadline = time.time() + 120
         while time.time() < deadline and len(out_rows) < 2:
-            time.sleep(1)
+            write(pdf.head(1).assign(conv_id=f"c{tick}", text="late"),
+                  "append")
+            tick += 1
+            time.sleep(4)
 
         # conversation "a" returns after its session closed: the next
         # burst must emit session_seq=2 (placeholder state, not seq reset)
@@ -71,12 +77,14 @@ def test_stateful_sessionization(spark, tmp_path):
         )
         write(pdf2, "append")
         time.sleep(4)
-        write(pdf.head(1).assign(conv_id="d", text="tick"), "append")
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline and not any(
             r["conv_id"] == "a" and r["session_seq"] == 2 for r in out_rows
         ):
-            time.sleep(1)
+            write(pdf.head(1).assign(conv_id=f"d{tick}", text="tick"),
+                  "append")
+            tick += 1
+            time.sleep(4)
     finally:
         q.stop()
 
