@@ -35,6 +35,10 @@ def test_stateful_sessionization(spark, tmp_path):
         (
             spark.createDataFrame(frame)
             .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+            # ONE file per write: maxFilesPerTrigger=1 must deliver a
+            # whole burst in one micro-batch, or the 2s processing-time
+            # gap can fire between part-files of the same conversation
+            .coalesce(1)
             .write.parquet(src, mode=mode)
         )
 
@@ -45,7 +49,11 @@ def test_stateful_sessionization(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sessions = sessionize_stream(stream, gap_sec=2)
+    # gap of 10s: long enough that the seq+1 placeholder (which lives ONE
+    # further gap after a session closes) comfortably survives the poll +
+    # write + micro-batch latency of the second burst below, even when
+    # the whole suite runs concurrently
+    sessions = sessionize_stream(stream, gap_sec=10)
 
     q = (
         sessions.writeStream.outputMode("append")
@@ -58,33 +66,34 @@ def test_stateful_sessionization(spark, tmp_path):
         # wait for ingestion, then for the 2s processing-time gap to fire;
         # an empty follow-up batch is needed to evaluate timeouts, so add
         # a late third conversation
-        time.sleep(5)
         # processing-time timeouts only fire when a micro-batch runs, so
         # keep poking the source with tick conversations (robust to CPU
         # contention when the whole suite runs concurrently)
         tick = 0
-        deadline = time.time() + 120
-        while time.time() < deadline and len(out_rows) < 2:
+        deadline = time.time() + 150
+        while time.time() < deadline and not any(
+            r["conv_id"] == "a" for r in out_rows
+        ):
             write(pdf.head(1).assign(conv_id=f"c{tick}", text="late"),
                   "append")
             tick += 1
-            time.sleep(4)
+            time.sleep(3)
 
-        # conversation "a" returns after its session closed: the next
-        # burst must emit session_seq=2 (placeholder state, not seq reset)
+        # conversation "a" returns IMMEDIATELY after its session closed
+        # (well inside the placeholder's one-gap lifetime): the burst
+        # must emit session_seq=2 (placeholder state, not seq reset)
         pdf2 = pdf.head(2).assign(
             ts=pd.to_datetime(["2024-01-01 02:00:00", "2024-01-01 02:00:05"])
         )
         write(pdf2, "append")
-        time.sleep(4)
-        deadline = time.time() + 120
+        deadline = time.time() + 150
         while time.time() < deadline and not any(
             r["conv_id"] == "a" and r["session_seq"] == 2 for r in out_rows
         ):
             write(pdf.head(1).assign(conv_id=f"d{tick}", text="tick"),
                   "append")
             tick += 1
-            time.sleep(4)
+            time.sleep(3)
     finally:
         q.stop()
 
