@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds and
-the headline rolled-up-points/sec metric.
+the headline rolled-up-points/sec metric. Times are the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS (default 3) full-suite repetitions after one
+discarded warmup pass, with per-query min/max spread — a single run on a
+shared box is noise, not signal (VERDICT r02).
 
 Extra modes (not used by the driver):
   --scaling   run the flagship pipeline (synthetic transcripts at a
@@ -19,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -99,7 +103,14 @@ def main() -> None:
                 extra_conf={
                     # pre-fault the heap once: this sandbox's page-fault
                     # path is ~0.3 GB/s per process (measured, BENCH.md),
-                    # so on-demand heap growth taxes every shuffle buffer
+                    # so on-demand heap growth taxes every shuffle buffer.
+                    # NOTE (ADVICE r02): in local mode driver JVM options
+                    # only take effect on the FIRST JVM launch in this
+                    # python process; the second scaling level reuses the
+                    # same gateway JVM, so this conf is a no-op there.
+                    # Harmless by construction: both levels pass identical
+                    # values, so the JVM the levels share was launched
+                    # with exactly these flags.
                     "spark.driver.extraJavaOptions":
                         "-XX:+AlwaysPreTouch -Xms"
                         + os.environ.get("SPARK_DRIVER_MEM", "8g"),
@@ -161,30 +172,45 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # VERDICT r02: a single run is noise (the recorded r02 artifact was a
+    # 2.4x outlier under harness load). Protocol: one full-suite warmup
+    # (JVM C2 + python-worker spin-up), then N_RUNS timed repetitions;
+    # report the per-query MEDIAN plus min/max spread so the recorded
+    # number is a statistic, not a sample.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark = build_session("bench", master=f"local[{cpus}]")
-    t_all0 = time.perf_counter()
-    times = run_once(spark, sf_dir, BENCH_QUERIES)
-    total = round(time.perf_counter() - t_all0, 3)
-    queries = {k: v for k, v in times.items() if not k.startswith("_rows_")}
+    run_once(spark, sf_dir, BENCH_QUERIES)  # warmup, discarded
+    runs: list[dict[str, float]] = []
+    totals: list[float] = []
+    for _ in range(n_runs):
+        t_all0 = time.perf_counter()
+        runs.append(run_once(spark, sf_dir, BENCH_QUERIES))
+        totals.append(round(time.perf_counter() - t_all0, 3))
+    queries = {
+        q: round(statistics.median(r[q] for r in runs), 3)
+        for q in BENCH_QUERIES
+    }
+    spread = {
+        q: [round(min(r[q] for r in runs), 3),
+            round(max(r[q] for r in runs), 3)]
+        for q in BENCH_QUERIES
+    }
     # headline: rolled-up points/sec over the three retention tiers
-    tier_rows = sum(
-        times.get(f"_rows_{q}", 0)
-        for q in ("events_rollup_1m", "events_rollup_1h_cascade",
-                  "events_rollup_1d_cascade")
-    )
-    tier_sec = sum(
-        queries[q]
-        for q in ("events_rollup_1m", "events_rollup_1h_cascade",
-                  "events_rollup_1d_cascade")
-    )
+    tier_qs = ("events_rollup_1m", "events_rollup_1h_cascade",
+               "events_rollup_1d_cascade")
+    tier_rows = sum(runs[0].get(f"_rows_{q}", 0) for q in tier_qs)
+    tier_sec = sum(queries[q] for q in tier_qs)
     print(
         json.dumps(
             {
                 "metric": "rolled-up points/sec (retention tiers 1m/1h/1d)",
                 "value": round(tier_rows / max(tier_sec, 1e-9), 1),
                 "unit": "points/sec",
-                "total_sec": total,
+                "total_sec": round(statistics.median(totals), 3),
+                "total_spread": [min(totals), max(totals)],
+                "runs": n_runs,
                 "queries": queries,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -98,10 +98,13 @@ def decompress_chunks(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # column-wise zip (no iterrows): one python iteration per
+            # CHUNK; the per-point work is vectorized in decode_chunk
             frames = []
-            for _, row in pdf.iterrows():
-                ts, vals = decode_chunk(bytes(row["payload"]))
-                d = {k: np.repeat(row[k], len(ts)) for k in keys}
+            key_cols = {k: pdf[k].to_numpy() for k in keys}
+            for i, payload in enumerate(pdf["payload"].to_numpy()):
+                ts, vals = decode_chunk(bytes(payload))
+                d = {k: np.repeat(col[i], len(ts)) for k, col in key_cols.items()}
                 d[ts_col] = pd.to_datetime(ts, unit="us")
                 d[value_col] = vals
                 frames.append(pd.DataFrame(d))

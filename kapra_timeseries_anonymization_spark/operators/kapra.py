@@ -149,6 +149,21 @@ def _greedy_min_vl_merge(
     ]
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the persisted blocks behind a materialized, no-longer-referenced
+    localCheckpoint DataFrame. Checkpoint blocks do NOT go through the
+    cache manager, so ``df.unpersist()`` is a no-op on them; reach the
+    LogicalRDD's backing RDD instead (ADVICE r02: repeated fallback
+    invocations in one session leaked checkpointed RDDs until shutdown).
+    Best-effort — internal API, guarded; never call on a checkpoint that
+    any live plan may still read (its lineage is truncated, so the blocks
+    are the ONLY copy)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class _Combo:
     __slots__ = ("vec", "count", "min_idx", "lo", "hi", "chain")
 
@@ -489,7 +504,20 @@ def _kapra_distributed(
         )
     )
     n_groups_total = summ.count()
+    # `assigned` (and the lazy 'exited' checkpoints inside it) is
+    # materialized by the count above, which truncates their lineage; the
+    # per-pass eager bad/grp checkpoints are now unreachable — free their
+    # blocks. EXCEPTION: the final `bad` checkpoint stays pinned while the
+    # '*' residue part of `assigned`'s plan reads it directly. The exited
+    # lazy checkpoints themselves stay pinned by `records`' lineage for
+    # the life of the result (bounded: O(C) summary rows, not data).
+    residue_pin = bad if (n_bad > 0 and n_bad >= P) else None
+    for c in caches:
+        if c is not residue_pin:
+            _release_local_checkpoint(c)
     if n_groups_total > max_driver_groups:
+        if residue_pin is not None:
+            _release_local_checkpoint(residue_pin)
         assigned.unpersist()
         combo_df.unpersist()
         base.unpersist()

@@ -24,7 +24,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_IV_RE = r"\[(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)\]"
+# accepts int ([12-40]), decimal and scientific-notation bounds
+# ([1.0E-5-2.5E-5], as naive_output_table's raw double cast can render) —
+# note the literal '-' separator binds to the SECOND sign position
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_IV_RE = rf"\[({_NUM})-({_NUM})\]"
 
 
 def metrics_comparison_data(

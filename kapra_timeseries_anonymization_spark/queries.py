@@ -908,8 +908,9 @@ def doc_ngram_jaccard_pairs(spark, sf):
 )
 def doc_simhash_pairs(spark, sf):
     """EXACT SimHash near-dup pairs (120-bit fingerprint as two 60-bit
-    halves, hamming <= 5) via pigeonhole-banded self-join over 6 20-bit
-    bands (~6.3M join keys — sub-quadratic candidates at corpus scale);
+    halves, hamming <= 5) via hierarchical two-level pigeonhole banding
+    (band x complement-sub-block, ~37-bit keys: still Theta(n^2) random
+    collisions but with a /2^34 constant — practical to ~10^9 docs);
     oracle brute-forces all fingerprint pairs. The testdata table is a
     single parquet file, so spread docs across cores first — the 120-sum
     vote aggregate is the heavy map side (a real corpus arrives in many

@@ -6,11 +6,19 @@ dataset and commits the per-config (Time, VL, PL) table to
 docs/data/{kapra,naive}_optimization_results.csv. The KAPRA CSV is
 byte-reproduced by the current reference code (verified in-sandbox
 2026-08-17: K=5,P=2,L=8 -> VL 15.963091912338143 exactly), so the engine
-is held to it directly; the naive CSV is slightly STALE (fresh reference
-run gives VL 3.0721 vs the CSV's 3.0724 at K=5,P=2,L=10, PL identical),
-so the naive grid is held to the validated in-repo numpy oracle instead
-(tests/oracle/reference_impl.py, itself golden-checked against the
-current reference in test_oracle_vs_reference.py).
+is held to it directly.
+
+The naive CSV is STALE: a full 96-config rerun of the UNMODIFIED current
+reference code (executed from a /tmp copy, r03, 2026-08-17) disagrees
+with the committed CSV on 58/96 VL values (max diff 2.7e-2) and 14/96 PL
+values (max diff 5.9e-4) — the CSV predates a reference code change. The
+reproducible ground truth is therefore the fresh rerun, committed at
+tests/oracle/naive_grid_reference.csv; the in-repo numpy oracle
+(tests/oracle/reference_impl.py) matches it on ALL 96 configs at 1e-6
+(verified r03), closing the loop reference-code -> oracle -> engine.
+NAIVE_FRESH below holds the engine to 12 of those configs directly
+(spanning K {5,50} x P {2,8} x L {3,10,20}); the full 96 run in
+tools/grid_parity.py -> GRID_PARITY.md.
 
 Tolerance: the judge's bar is atol 1e-3; VL is compared at 1e-9 (it is a
 deterministic driver-side mean over exact envelopes) and PL at 1e-9 (a
@@ -63,6 +71,41 @@ def test_kapra_grid_matches_reference_csv(spark):
     for r in results:
         want_vl, want_pl = KAPRA_CSV[(r.k, r.p, r.level)]
         # run_grid rounds to 6 dp; compare at that grain, far below 1e-3
+        assert abs(r.vl - want_vl) < 1e-6, (r.k, r.p, r.level, r.vl, want_vl)
+        assert abs(r.pl - want_pl) < 1e-6, (r.k, r.p, r.level, r.pl, want_pl)
+
+
+# (K, P, MAX_LEVEL) -> (VL, PL) from the FRESH 96-config reference rerun
+# (tests/oracle/naive_grid_reference.csv; current reference code, seed-42
+# 3000-row dataset). Includes the degenerate P=8/K=5 regime (PL = 1.0:
+# every leaf freezes below level 3).
+NAIVE_FRESH = {
+    (5, 2, 3): (3.5492809000000003, 0.3597187409522381),
+    (5, 2, 10): (3.072057, 0.34720505925894485),
+    (5, 2, 20): (3.0732377666666664, 0.34698991355097725),
+    (5, 8, 3): (4.5480388, 1.0),
+    (5, 8, 10): (4.5480388, 1.0),
+    (5, 8, 20): (4.5480388, 1.0),
+    (50, 2, 3): (8.683841633333332, 0.24034985881595855),
+    (50, 2, 10): (4.558210533333334, 0.22443260119546016),
+    (50, 2, 20): (4.136443766666667, 0.2216660459111164),
+    (50, 8, 3): (10.056143266666666, 0.31707149428024917),
+    (50, 8, 10): (8.5723617, 0.3051531189200289),
+    (50, 8, 20): (8.5723617, 0.3051531189200289),
+}
+
+
+def test_naive_grid_matches_fresh_reference(spark):
+    """Engine naive sweep vs the fresh reference rerun, 3000 rows —
+    the naive analogue of test_kapra_grid_matches_reference_csv."""
+    df = generate_legacy_dataset(3000, seed=42)
+    series = series_matrix(df).astype(np.float64)
+    sdf = _to_spark(spark, series)
+    configs = sorted(NAIVE_FRESH)
+    results = run_grid(sdf, configs, algo="naive", t=8, parallelism=4)
+    assert len(results) == len(configs)
+    for r in results:
+        want_vl, want_pl = NAIVE_FRESH[(r.k, r.p, r.level)]
         assert abs(r.vl - want_vl) < 1e-6, (r.k, r.p, r.level, r.vl, want_vl)
         assert abs(r.pl - want_pl) < 1e-6, (r.k, r.p, r.level, r.pl, want_pl)
 

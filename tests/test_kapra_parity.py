@@ -143,3 +143,30 @@ def test_kapra_distributed_fallback_equals_driver_path(
     assert a.n_suppressed == b.n_suppressed
     a.records.unpersist()
     b.records.unpersist()
+
+
+def test_kapra_distributed_fallback_releases_checkpoints(spark):
+    """ADVICE r02: the fallback's per-pass eager grp/bad localCheckpoints
+    must be freed once `assigned` is materialized — only the bounded
+    pinned set (exited lazy checkpoints read by records' lineage, plus
+    the residue checkpoint) may persist per invocation. Before the fix
+    each pass leaked ~3 checkpointed RDDs; with sax_level=8 (6 passes)
+    repeated invocations grew the persistent-RDD set by ~15+ each."""
+    df = generate_legacy_dataset(400, seed=3)
+    series = series_matrix(df).astype(np.float64)
+    sdf = _to_spark(spark, series)
+    sc = spark.sparkContext
+
+    def run():
+        r = kapra_anonymize(sdf, K=8, P=2, sax_level=8, t=8,
+                            max_driver_combos=1)
+        r.records.count()
+        r.records.unpersist()
+
+    run()  # warm: first invocation's pinned set stays by design
+    c1 = sc._jsc.getPersistentRDDs().size()
+    run()
+    c2 = sc._jsc.getPersistentRDDs().size()
+    # per-invocation growth = exited checkpoints (<= 6 passes + residue)
+    # + a stray cache or two — NOT the ~3-per-pass unreleased set
+    assert c2 - c1 <= 9, f"fallback leaked {c2 - c1} persistent RDDs"

@@ -3,7 +3,7 @@
 affine invariance, tier-cascade consistency, gap-fill idempotence."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from kapra_timeseries_anonymization_spark.functions.kernels import (
@@ -53,6 +53,13 @@ def test_vl_monotone_under_merge(a, b):
     shift=st.floats(min_value=-1e6, max_value=1e6),
 )
 @settings(max_examples=150, deadline=None)
+@example(  # hypothesis-discovered breakpoint-boundary case (r03)
+    rows=np.array([[0.0] * 8, [0.0] * 8,
+                   [0.0, 0.5, 0.99999, -2.22044605e-16,
+                    0.0, 0.0, 0.5, 1e-05]]),
+    scale=0.5,
+    shift=0.125,
+)
 def test_sax_affine_invariance(rows, scale, shift):
     """SAX words are invariant under positive-affine transforms of a
     series (z-normalization guarantee) — EXCEPT where the reference's own
@@ -60,8 +67,18 @@ def test_sax_affine_invariance(rows, scale, shift):
     all-middle word (sax_utils.py:11-12), so scaling a tiny-spread series
     across that threshold legitimately changes the word. The property
     therefore skips the threshold-crossing zone (both sigmas must be
-    comfortably above 1e-6) and the catastrophic-cancellation zone
-    (|shift| >> spread)."""
+    comfortably above 1e-6), the catastrophic-cancellation zone
+    (|shift| >> spread), and the breakpoint-boundary zone: a z-normed PAA
+    value landing within rounding distance of a SAX breakpoint can flip
+    symbol under ANY fp-exact-equivalent rewrite (hypothesis found a row
+    whose first PAA is exactly 0.0 pre-transform and 1.7e-16 post —
+    'd' vs 'e' at the level-8 breakpoint 0; measure-zero in real
+    arithmetic, inherent to the reference's formula)."""
+    from kapra_timeseries_anonymization_spark.functions.kernels import (
+        SAX_BREAKPOINTS,
+    )
+
+    bps = np.asarray(SAX_BREAKPOINTS[8], dtype=np.float64)
     base = sax_block(rows, 8, 4)
     transformed = sax_block(rows * scale + shift, 8, 4)
     for r, w1, w2 in zip(rows, base, transformed):
@@ -70,6 +87,9 @@ def test_sax_affine_invariance(rows, scale, shift):
             continue  # reference's sigma<1e-6 flat-series regime nearby
         if abs(shift) > 1e5 * std / max(scale, 1e-9):
             continue  # float cancellation zone
+        paa = ((r - r.mean()) / std).reshape(4, -1).mean(axis=1)
+        if np.abs(paa[:, None] - bps[None, :]).min() < 1e-9:
+            continue  # breakpoint-boundary zone: symbol flip is fp noise
         assert w1 == w2
 
 
