@@ -9,13 +9,18 @@ byte-reproduced by the current reference code (verified in-sandbox
 is held to it directly.
 
 The naive CSV is STALE: a full 96-config rerun of the UNMODIFIED current
-reference code (executed from a /tmp copy, r03, 2026-08-17) disagrees
-with the committed CSV on 58/96 VL values (max diff 2.7e-2) and 14/96 PL
-values (max diff 5.9e-4) — the CSV predates a reference code change. The
-reproducible ground truth is therefore the fresh rerun, committed at
-tests/oracle/naive_grid_reference.csv; the in-repo numpy oracle
-(tests/oracle/reference_impl.py) matches it on ALL 96 configs at 1e-6
-(verified r03), closing the loop reference-code -> oracle -> engine.
+reference code (executed from a /tmp copy of the whole tree, r03,
+2026-08-17, re-verified deterministic across repeat in-process runs)
+disagrees with the committed CSV on 58/96 VL values (max diff 3.8e-2)
+and 1/96 PL values (max diff 6.2e-4, all at tol 1e-6) — the CSV predates
+a reference code change. The reproducible ground truth is therefore the
+fresh rerun, committed at tests/oracle/naive_grid_reference.csv; the
+in-repo numpy oracle (tests/oracle/reference_impl.py) matches it on ALL
+96 configs at 1e-6 (independently re-swept r03 via a 12-way
+ProcessPoolExecutor oracle sweep), closing the loop reference-code ->
+oracle -> engine. (An earlier r03 version of this CSV was corrupt — it
+matched neither the stale tree CSV nor a faithful rerun on 60/96 VL
+rows; regenerated and triple-checked 2026-08-17.)
 NAIVE_FRESH below holds the engine to 12 of those configs directly
 (spanning K {5,50} x P {2,8} x L {3,10,20}); the full 96 run in
 tools/grid_parity.py -> GRID_PARITY.md.
@@ -80,18 +85,18 @@ def test_kapra_grid_matches_reference_csv(spark):
 # 3000-row dataset). Includes the degenerate P=8/K=5 regime (PL = 1.0:
 # every leaf freezes below level 3).
 NAIVE_FRESH = {
-    (5, 2, 3): (3.5492809000000003, 0.3597187409522381),
-    (5, 2, 10): (3.072057, 0.34720505925894485),
-    (5, 2, 20): (3.0732377666666664, 0.34698991355097725),
+    (5, 2, 3): (3.5491344333333332, 0.35971874095223805),
+    (5, 2, 10): (3.071676966666667, 0.34720505925894485),
+    (5, 2, 20): (3.0737612333333333, 0.34698991355097725),
     (5, 8, 3): (4.5480388, 1.0),
     (5, 8, 10): (4.5480388, 1.0),
     (5, 8, 20): (4.5480388, 1.0),
-    (50, 2, 3): (8.683841633333332, 0.24034985881595855),
-    (50, 2, 10): (4.558210533333334, 0.22443260119546016),
-    (50, 2, 20): (4.136443766666667, 0.2216660459111164),
+    (50, 2, 3): (8.683841633333332, 0.24034985881595852),
+    (50, 2, 10): (4.555209433333333, 0.2244326011954602),
+    (50, 2, 20): (4.1333489000000005, 0.2216660459111165),
     (50, 8, 3): (10.056143266666666, 0.31707149428024917),
-    (50, 8, 10): (8.5723617, 0.3051531189200289),
-    (50, 8, 20): (8.5723617, 0.3051531189200289),
+    (50, 8, 10): (8.582862933333333, 0.3051531189200289),
+    (50, 8, 20): (8.582862933333333, 0.3051531189200289),
 }
 
 

@@ -6,9 +6,11 @@ the byte-identical regenerated golden dataset (seed 42, 3000 rows) and
 compares each VL/PL pair against docs/data/kapra_optimization_results.csv.
 Writes GRID_PARITY.md at the repo root.
 
-Also sweeps the naive grid on a 12-config subset against the validated
-in-repo numpy oracle (the committed naive CSV is stale — see
-tests/test_grid_parity.py docstring).
+Also sweeps the FULL 96-config naive grid (src/optimize_naive.py:6-63)
+against the fresh reference rerun committed at
+tests/oracle/naive_grid_reference.csv (the CSV committed in the reference
+tree is stale — see tests/test_grid_parity.py docstring; the fresh rerun
+is itself validated against the in-repo numpy oracle on all 96 configs).
 
 Usage: python tools/grid_parity.py
 """
@@ -22,8 +24,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 REF_CSV = "/root/reference/docs/data/kapra_optimization_results.csv"
 ATOL = 1e-6
 
@@ -32,7 +32,6 @@ def main() -> None:
     from kapra_timeseries_anonymization_spark.plans.optimize import run_grid
     from kapra_timeseries_anonymization_spark.session import build_session
     from tests.oracle.legacy_dataset import generate_legacy_dataset, series_matrix
-    from tests.oracle.reference_impl import naive_pipeline
 
     spark = build_session("grid-parity")
     df = generate_legacy_dataset(3000, seed=42)
@@ -84,33 +83,45 @@ def main() -> None:
         f"{ref_wall:.1f}s single-core; Spark per-job overhead dominates at "
         "this size — the sweep exists for parity evidence, not speed).",
         "",
-        "## Naive grid (vs in-repo validated oracle; committed CSV stale)",
+        "## Naive grid (full 96 configs vs fresh reference rerun)",
         "",
-        "| K | P | L | oracle VL | engine VL | oracle PL | engine PL | match |",
+        "Reference: tests/oracle/naive_grid_reference.csv — a full rerun of",
+        "the UNMODIFIED current reference naive code over its own grid",
+        "(src/optimize_naive.py:6-63) on the byte-identical golden dataset;",
+        "the CSV committed in the reference tree is stale (58/96 VL drift vs",
+        "its own current code). The fresh rerun matches the in-repo numpy",
+        "oracle on all 96 configs at 1e-6.",
+        "",
+        "| K | P | L | ref VL | engine VL | ref PL | engine PL | match |",
         "|---|---|---|---|---|---|---|---|",
     ]
 
-    naive_cfgs = [
-        (k, p, lv) for k in (5, 10, 20) for p in (2, 5) for lv in (5, 10)
-    ]
+    naive_ref = {}
+    naive_csv = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "oracle", "naive_grid_reference.csv")
+    with open(naive_csv) as f:
+        for row in csv.DictReader(f):
+            key = (int(row["K"]), int(row["P"]), int(row["MAX_LEVEL"]))
+            naive_ref[key] = (float(row["VL"]), float(row["PL"]))
+
+    naive_cfgs = sorted(naive_ref)
     t0 = time.perf_counter()
-    nresults = run_grid(sdf, naive_cfgs, algo="naive", t=8, parallelism=4)
+    nresults = run_grid(sdf, naive_cfgs, algo="naive", t=8, parallelism=8)
     naive_wall = time.perf_counter() - t0
     n_nbad = 0
     for r in nresults:
-        o = naive_pipeline(
-            series.astype(np.int64), K=r.k, P=r.p, max_level=r.level
-        )
-        ok = abs(r.vl - o.avg_vl) < ATOL and abs(r.pl - o.avg_pl) < ATOL
+        want_vl, want_pl = naive_ref[(r.k, r.p, r.level)]
+        ok = abs(r.vl - want_vl) < ATOL and abs(r.pl - want_pl) < ATOL
         n_nbad += 0 if ok else 1
         lines.append(
-            f"| {r.k} | {r.p} | {r.level} | {o.avg_vl:.6f} | {r.vl:.6f} "
-            f"| {o.avg_pl:.6f} | {r.pl:.6f} | {'OK' if ok else 'MISMATCH'} |"
+            f"| {r.k} | {r.p} | {r.level} | {want_vl:.6f} | {r.vl:.6f} "
+            f"| {want_pl:.6f} | {r.pl:.6f} | {'OK' if ok else 'MISMATCH'} |"
         )
     lines += [
         "",
         f"**Naive: {len(naive_cfgs) - n_nbad}/{len(naive_cfgs)} configs "
-        f"match at atol {ATOL}** ({naive_wall:.1f}s sweep).",
+        f"match at atol {ATOL}** ({naive_wall:.1f}s sweep at parallelism 8).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "GRID_PARITY.md")
