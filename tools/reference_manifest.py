@@ -11,8 +11,18 @@ Known state pinned by the manifest (annotated, disclosed in BASELINE.md):
 - docs/data/kapra_anonymized.csv  — restored byte-equivalently in r02
   (deterministic defaults; re-verified by test_oracle_vs_reference.py).
 - docs/data/naive_anonymized.csv  — the committed-stale original was
-  unrecoverable; the file now holds current-reference-code output
-  (regenerated in r02). No engine test consumes it.
+  unrecoverable after r02. r03 forensics (2026-08-17): the file drifted
+  AGAIN at 14:33 (after the 14:05 manifest commit, between sessions),
+  and neither the r02-pinned bytes (9be681fd…) nor the drifted bytes
+  (1d237ff9…) are reproducible by the current reference code under ANY
+  of its 96 grid configs or its script defaults (exhaustively checked
+  from a /tmp copy; the code is deterministic across processes and
+  PYTHONHASHSEED values). The file is therefore pinned at the CANONICAL
+  state: `python src/naive_anonymization.py` (defaults K=8,P=2,ML=10)
+  run from a /tmp copy of the unmodified tree → sha256 c61b66e35fe1…,
+  copied in as a one-time restorative write. Any future drift can now
+  be remediated byte-exactly from that recipe. No engine test consumes
+  this file.
 
 Usage:
   python tools/reference_manifest.py          # verify against manifest
