@@ -920,12 +920,69 @@ def doc_simhash_pairs(spark, sf):
     return simhash_pairs(d, max_hamming=5)
 
 
-@q("doc_minhash_lsh_pairs", None)
+@q(
+    "doc_minhash_lsh_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ),
+    shh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+    ),
+    perms AS (
+        SELECT j,
+               CASE WHEN (1103515245 * (j + 1) + 12345) % 2147483647 = 0
+                    THEN 1
+                    ELSE (1103515245 * (j + 1) + 12345) % 2147483647
+               END AS a,
+               (69069 * (j + 1) + 1) % 2147483647 AS b
+        FROM (SELECT unnest(range(0, 64)) AS j)
+    ),
+    sig AS (
+        SELECT shh.doc_id, p.j,
+               min((p.a * shh.h + p.b) % 2147483647) AS mh
+        FROM shh CROSS JOIN perms p
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+        FROM sig
+        GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                 / len(list_distinct(da.sh || db.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN d da ON da.doc_id = c.id_a
+    JOIN d db ON db.doc_id = c.id_b
+    WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+          / len(list_distinct(da.sh || db.sh)) >= 0.2
+    """,
+)
 def doc_minhash_lsh_pairs(spark, sf):
     """MinHash(64) + LSH(16x4) near-dup pairs, candidates verified with
-    exact Jaccard — the sub-quadratic 100 TB path. Rows-only: recall is
-    probabilistic by design; precision/recall asserted in
-    tests/test_dedup.py."""
+    exact Jaccard — the sub-quadratic 100 TB path. Although recall is
+    probabilistic in the abstract, the whole pipeline is DETERMINISTIC
+    (fixed LCG permutations over md5 shingle hashes), so the DuckDB
+    oracle replays it end-to-end — signatures, banding, candidate join,
+    exact-Jaccard verification — and the hash must match value-for-value
+    (r03; was rows-only). Precision/recall properties are additionally
+    asserted in tests/test_dedup.py."""
     d = read_table(spark, sf, "documents")
     return minhash_lsh_pairs(d, k=3, threshold=0.2)
 
