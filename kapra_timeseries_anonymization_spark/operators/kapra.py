@@ -50,6 +50,7 @@ from pyspark.sql.window import Window
 
 from ..functions.sax_udfs import make_sax_levels_udf, pattern_loss_udf
 from .envelope import envelope_agg, merge_envelope_agg
+from .rank import distributed_rank
 
 
 @dataclass
@@ -424,27 +425,37 @@ def _kapra_distributed(
     )
     assigned_parts: list[DataFrame] = []
     caches: list[DataFrame] = [bad]
+    rank_caches: list[DataFrame] = []  # plain persists from distributed_rank
     n_suppressed = 0
     for pass_idx, level in enumerate(levels):
         word = F.col("sax_vec").getItem(level - 3)
         b2 = bad.withColumn("w", word)
-        grp = (
-            b2.groupBy("w")
-            .agg(
+        # r03 (VERDICT r02 #3): both per-pass ranks are TWO-STAGE
+        # (range-partition + local row_number + broadcast offsets,
+        # operators/rank.py) instead of single-task Window.orderBy —
+        # G_pass is bounded by the level-l word space but reaches millions
+        # at high levels. `fp` (min chain+idx key) and `g_rank` are unique
+        # per group, so the distributed rank is exact.
+        granked = distributed_rank(
+            b2.groupBy("w").agg(
                 F.sum("count").alias("total"),
                 F.min(F.concat("ordk", "idx_ord")).alias("fp"),
-            )
-            .select(
-                "w", "total",
-                (F.row_number().over(Window.orderBy("fp")) - 1).alias("g_rank"),
-            )
+            ),
+            "fp", "g_rank", start=0,
+        )
+        grp = (
+            granked.select("w", "total", "g_rank")
             .localCheckpoint(eager=True)  # G_pass rows; truncates plans
         )
+        granked._rank_cache.unpersist()  # grp is materialized — free now
         caches.append(grp)
-        good = grp.filter(F.col("total") >= P).select(
-            "w", "total",
-            (F.row_number().over(Window.orderBy("g_rank")) - 1).alias("p_rank"),
+        pranked = distributed_rank(
+            grp.filter(F.col("total") >= P), "g_rank", "p_rank", start=0
         )
+        good = pranked.select("w", "total", "p_rank")
+        # good feeds the LAZY `exited` checkpoints — its rank cache must
+        # live until `assigned` is materialized (summ.count() below)
+        rank_caches.append(pranked._rank_cache)
         exited = b2.join(good, "w").select(
             "combo_key", "count", "lower", "upper", "ordk",
             F.lit(pass_idx).alias("pass"), "p_rank",
@@ -504,6 +515,9 @@ def _kapra_distributed(
         )
     )
     n_groups_total = summ.count()
+    # assigned is materialized — the p_rank range-partition caches are done
+    for rc in rank_caches:
+        rc.unpersist()
     # `assigned` (and the lazy 'exited' checkpoints inside it) is
     # materialized by the count above, which truncates their lineage; the
     # per-pass eager bad/grp checkpoints are now unreachable — free their

@@ -1,0 +1,73 @@
+"""Distributed global rank: row_number over a global ORDER BY without the
+single-task window.
+
+``Window.orderBy(col)`` with no partitionBy collapses the whole input into
+ONE task — fine for a few thousand rows, a linear-in-N bottleneck for the
+Mondrian GroupID map (G = O(N/k) distinct pids, ~1.2e7 rows at 1e8 series)
+and the distributed-KAPRA per-pass group ranks (VERDICT r02 "What's wrong"
+#3). This helper computes the identical rank in three bounded steps:
+
+1. ``repartitionByRange(n, col)`` — Spark's RangePartitioner contract puts
+   ascending key ranges in ascending partition ids, so global order ==
+   (partition id, within-partition order).
+2. per-partition ``row_number`` — N/n rows per task, fully parallel.
+3. partition counts -> cumulative offsets (a window over <= n rows, the
+   session's parallelism, never the data size) broadcast back.
+
+Requires the order key to be UNIQUE (all call sites rank distinct keys);
+with duplicates the boundary rows of equal keys could straddle two range
+partitions and the local row_number would not reproduce the global one.
+
+The range-partitioned intermediate is persisted so the counts branch and
+the rank branch see ONE sampled boundary assignment; the cache is handed
+back via ``_rank_cache`` for the caller to release once its downstream
+result is materialized (same discipline as mondrian_partition's
+``_mondrian_cache``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_col: str,
+    start: int = 1,
+    cast: str = "int",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``rank_col`` = global ascending row_number of ``order_col``
+    (values must be unique), starting at ``start``. Equivalent to
+    ``F.row_number().over(Window.orderBy(order_col)) + (start-1)`` but
+    scales past one task. Caller must unpersist ``result._rank_cache``
+    after materializing downstream."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("_part", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
+    # <= num_partitions rows: the one remaining global window is bounded
+    # by the session's parallelism, not by the data
+    offsets = counts.select(
+        "_part",
+        (F.sum("_c").over(Window.orderBy("_part")) - F.col("_c")).alias("_off"),
+    )
+    local = F.row_number().over(Window.partitionBy("_part").orderBy(order_col))
+    out = (
+        ranged.join(F.broadcast(offsets), "_part")
+        .withColumn(
+            rank_col,
+            (local + F.col("_off") + F.lit(start - 1)).cast(cast),
+        )
+        .drop("_part", "_off")
+    )
+    out._rank_cache = ranged
+    return out

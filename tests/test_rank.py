@@ -1,0 +1,49 @@
+"""distributed_rank == single-task Window.orderBy row_number, exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kapra_timeseries_anonymization_spark.operators.rank import distributed_rank
+
+
+@pytest.mark.parametrize(
+    "n,start,num_partitions",
+    [(1, 1, 4), (7, 0, 4), (1000, 1, 4), (1000, 1, 64), (5000, 0, 16)],
+)
+def test_matches_global_window(spark, n, start, num_partitions):
+    # unique string keys in scrambled order, uneven key-length mix (like
+    # Mondrian pids) so range boundaries land mid-prefix
+    import random
+
+    rng = random.Random(42 + n)
+    keys = [format(i, "b") for i in rng.sample(range(3 * n), n)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+
+    expect = {
+        r["k"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k")) + F.lit(start - 1)
+        ).collect()
+    }
+    ranked = distributed_rank(
+        df, "k", "rank", start=start, num_partitions=num_partitions
+    )
+    got = {r["k"]: r["rank"] for r in ranked.collect()}
+    ranked._rank_cache.unpersist()
+    assert got == expect
+
+
+def test_empty(spark):
+    df = spark.createDataFrame([], "k string")
+    ranked = distributed_rank(df, "k", "rank")
+    assert ranked.count() == 0
+    ranked._rank_cache.unpersist()
+
+
+def test_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    ranked = distributed_rank(df, "k", "rank", num_partitions=32)
+    got = dict(ranked.select("k", "rank").collect())
+    ranked._rank_cache.unpersist()
+    assert got == {"a": 1, "b": 2, "c": 3}
