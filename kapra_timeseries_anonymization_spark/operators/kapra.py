@@ -398,7 +398,7 @@ def _kapra_distributed(
     summaries — never O(C) combos.
 
     Scale shape per pass: one hash-agg shuffle over surviving bad combos,
-    two single-task rank windows over G_pass group rows (bounded by the
+    two two-stage distributed ranks over G_pass group rows (bounded by the
     level-l word space), one broadcast-or-shuffle join back (AQE
     decides), then an eager localCheckpoint that both truncates the
     iterative plan and yields the loop-control count. The final phase-3

@@ -987,6 +987,84 @@ def doc_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(d, k=3, threshold=0.2)
 
 
+@q(
+    "doc_dup_components",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.2
+    ),
+    e AS (SELECT id_a AS s, id_b AS t FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.node
+    )
+    SELECT node AS doc_id, MIN(r)::BIGINT AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def doc_dup_components(spark, sf):
+    """Duplicate-cluster assignment: near-dup relations are not
+    transitive, so pair output must be grouped into connected components
+    before electing one canonical doc per cluster. Spark side runs the
+    scalable alternating large-star/small-star algorithm
+    (operators/components.py, O(log n) rounds of bounded shuffles); the
+    oracle computes the same components by recursive-CTE transitive
+    closure — an independent method, so a hash match validates the star
+    alternation end-to-end. component_id = min doc_id of the cluster."""
+    from .operators.components import connected_components
+
+    d = read_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+
+@q(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000
+          < CASE lang WHEN 'en' THEN 300000
+                      WHEN 'zh' THEN 1000000
+                      WHEN 'de' THEN 500000
+                      ELSE 100000 END
+    """,
+)
+def doc_stratified_sample(spark, sf):
+    """Deterministic stratified corpus sampling (language rebalancing:
+    keep 30% of English, all Chinese, 50% of German, 10% of the rest).
+    Hash-threshold on doc_id, not RNG — the sample is a pure function of
+    the data, identical under retries/repartitioning/engines, which is
+    why the DuckDB oracle can reproduce it row-for-row
+    (operators/sample.py). One narrow JVM-side filter: no shuffle."""
+    from .operators.sample import stratified_sample
+
+    d = read_table(spark, sf, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        fractions={"en": 0.3, "zh": 1.0, "de": 0.5},
+        strata_col="lang",
+        default_fraction=0.1,
+    )
+
+
 @q("media_pipeline", None)
 def media_pipeline(spark, sf):
     """Multimodal plumbing end-to-end: deterministic synth media table ->
