@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "events_activity_envelope",
     "doc_dedup_exact",
     "doc_simhash_pairs",
+    "doc_stratified_sample",
     "doc_token_stats",
     "emb_cosine_topk",
     "transcripts_turn_rate_1m",

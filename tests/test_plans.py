@@ -104,6 +104,15 @@ def test_passthrough_scan_is_pruned(spark):
     assert "value" not in scan, scan
 
 
+def test_stratified_sample_narrow_no_shuffle(spark):
+    plan = plan_of(spark, "doc_stratified_sample")
+    scan = scan_block(plan, "documents")
+    # the wide text column must be pruned out of the scan
+    assert "text" not in scan, scan
+    # hash-threshold sampling is one narrow projection+filter: no shuffle
+    assert "Exchange" not in plan, plan
+
+
 def test_whole_stage_codegen_on_relational_core(spark):
     # codegen spans are the `*(n)` prefixes; under AQE they only appear
     # in the FINAL plan, so execute first
