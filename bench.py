@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "doc_dedup_exact",
     "doc_simhash_pairs",
     "doc_stratified_sample",
+    "doc_global_shuffle",
     "doc_token_stats",
     "emb_cosine_topk",
     "transcripts_turn_rate_1m",

@@ -1065,6 +1065,33 @@ def doc_stratified_sample(spark, sf):
     )
 
 
+@q(
+    "doc_global_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+               AS shuffle_rank
+    FROM documents
+    """,
+)
+def doc_global_shuffle(spark, sf):
+    """Deterministic global training-order shuffle: rank every document by
+    the hash of its key. RNG-free (reproducible across runs/engines —
+    the oracle replays it) and single-task-free: the rank is the two-stage
+    range-partition + local row_number + broadcast offsets of
+    operators/rank.py, so the 'global sort' never funnels the corpus
+    through one task — the exact shape a 100 TB epoch-order shuffle
+    needs. md5 hex is unique per key, so the rank is total."""
+    from .operators.rank import distributed_rank
+
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    return distributed_rank(d, "_h", "shuffle_rank", cast="bigint").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 @q("media_pipeline", None)
 def media_pipeline(spark, sf):
     """Multimodal plumbing end-to-end: deterministic synth media table ->
