@@ -102,3 +102,47 @@ def test_kapra_on_transcript_series_matches_oracle(spark):
         assert r["group_id"] == gid
         assert r["pattern"] == pat
         assert r["level"] == lvl
+
+
+def test_turn_rate_series_python_oracle(spark):
+    """Pin conv_turn_rate_series semantics against an independent python
+    recomputation (same float ops), including a skewed conversation and a
+    single-turn conversation (span floor 1e-9). Guards any future plan
+    rewrite of the derive stage (e.g. the r03 digest-aggregate experiment,
+    reverted for absolute-throughput reasons — BENCH.md r03)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    t = synth_transcripts(
+        spark, n_convs=200, mean_turns=12, skew_conv_turns=3000
+    )
+    one = synth_transcripts(spark, n_convs=1, mean_turns=2).filter(
+        "turn_idx = 0"
+    )
+    t = t.unionByName(one.withColumn("conv_id", F.lit("c_single")))
+    n_buckets = 8
+
+    rows = t.select(
+        "conv_id", F.col("ts").cast("timestamp").cast("double").alias("sec")
+    ).collect()
+    by_conv: dict[str, list[float]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["sec"])
+    expect = {}
+    for cid, secs in by_conv.items():
+        lo, hi = min(secs), max(secs)
+        span = max(hi - lo, 1e-9)
+        vals = [0.0] * n_buckets
+        for x in secs:
+            b = min(int(math.floor((x - lo) / span * n_buckets)), n_buckets - 1)
+            vals[b] += 1.0
+        expect[cid] = tuple(vals)
+
+    got = {
+        r["conv_id"]: tuple(r["values"])
+        for r in conv_turn_rate_series(t, n_buckets=n_buckets).collect()
+    }
+    assert got == expect
+    assert sum(got["c_skew"]) == 3000
+    assert got["c_single"] == (1.0,) + (0.0,) * 7
