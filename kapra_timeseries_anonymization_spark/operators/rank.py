@@ -71,3 +71,46 @@ def distributed_rank(
     )
     out._rank_cache = ranged
     return out
+
+
+def distributed_running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    total_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``total_col`` = inclusive running sum of ``value_col`` in global
+    ``order_col`` order (keys must be unique) — the prefix-sum
+    generalization of :func:`distributed_rank` (which is the value==1
+    case), with the same three bounded steps: range partition, local
+    window, broadcast per-partition offsets (the one global window runs
+    over <= num_partitions subtotal rows). Caller must unpersist
+    ``result._rank_cache`` after materializing downstream."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("_part", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = ranged.groupBy("_part").agg(
+        F.sum(value_col).cast("long").alias("_c")
+    )
+    offsets = subtotals.select(
+        "_part",
+        (F.sum("_c").over(Window.orderBy("_part")) - F.col("_c")).alias("_off"),
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy("_part")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), "_part")
+        .withColumn(total_col, (local + F.col("_off")).cast("long"))
+        .drop("_part", "_off")
+    )
+    out._rank_cache = ranged
+    return out

@@ -1092,6 +1092,33 @@ def doc_global_shuffle(spark, sf):
     )
 
 
+@q(
+    "doc_pack_offsets",
+    """
+    SELECT doc_id,
+           n_chars::BIGINT                                  AS size,
+           (sum(n_chars) OVER w - n_chars)::BIGINT          AS start_off,
+           (sum(n_chars) OVER w)::BIGINT                    AS end_off,
+           ((sum(n_chars) OVER w - n_chars) // 4096)::BIGINT AS first_bin,
+           ((sum(n_chars) OVER w - 1) // 4096)::BIGINT      AS last_bin
+    FROM documents
+    WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def doc_pack_offsets(spark, sf):
+    """Concat-then-chunk sequence packing: each document's interval in the
+    md5-ordered packed stream and the 4096-unit context windows it spans —
+    the dataloader metadata for packed pretraining batches. One
+    distributed prefix-sum (range partition + local cumsum + broadcast
+    offsets, operators/pack.py); the oracle is a plain SQL running-sum
+    window, so the layout is verified value-for-value."""
+    from .operators.pack import pack_offsets
+
+    d = read_table(spark, sf, "documents")
+    return pack_offsets(d, key_col="doc_id", size_col="n_chars", capacity=4096)
+
+
 @q("media_pipeline", None)
 def media_pipeline(spark, sf):
     """Multimodal plumbing end-to-end: deterministic synth media table ->

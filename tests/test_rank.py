@@ -47,3 +47,46 @@ def test_more_partitions_than_rows(spark):
     got = dict(ranked.select("k", "rank").collect())
     ranked._rank_cache.unpersist()
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_running_total_matches_global_window(spark):
+    import random
+
+    from kapra_timeseries_anonymization_spark.operators.rank import (
+        distributed_running_total,
+    )
+
+    rng = random.Random(7)
+    rows = [(format(i, "x"), rng.randrange(1, 500)) for i in rng.sample(range(10000), 800)]
+    df = spark.createDataFrame(rows, "k string, sz long")
+    expect = {
+        r["k"]: r["tot"]
+        for r in df.withColumn(
+            "tot",
+            F.sum("sz").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    got_df = distributed_running_total(df, "k", "sz", "tot", num_partitions=16)
+    got = {r["k"]: r["tot"] for r in got_df.collect()}
+    got_df._rank_cache.unpersist()
+    assert got == expect
+
+
+def test_pack_offsets_stream_is_gapless(spark):
+    from kapra_timeseries_anonymization_spark.operators.pack import pack_offsets
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(300)], "doc_id long, n long"
+    )
+    out = pack_offsets(df, "doc_id", "n", capacity=1024)
+    rows = sorted(out.collect(), key=lambda r: r["start_off"])
+    out._rank_cache.unpersist()
+    assert rows[0]["start_off"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["end_off"] == b["start_off"]  # gapless concat stream
+    for r in rows:
+        assert r["first_bin"] == r["start_off"] // 1024
+        assert r["last_bin"] == (r["end_off"] - 1) // 1024
+        assert r["end_off"] - r["start_off"] == r["size"]
