@@ -79,12 +79,15 @@ def mondrian_partition(
     )
     done_parts: list[DataFrame] = []
     cur = cur.persist()
-    # every round's cache stays alive until the single checkpoint at the
-    # end: finished-partition slices read their round's cache lazily, so
-    # no per-round materialization job is needed (measured: the previous
-    # per-round localCheckpoint tripled the Mondrian wall-clock)
-    round_caches: list[DataFrame] = [cur]
-    round_no = 0
+    # MEMORY SHAPE (r03): peak footprint is O(N) — the current round's
+    # cache + the next round's + the accumulated done slices. The r02
+    # scheme (lazy done slices reading every round's still-alive cache)
+    # was O(N * rounds): with uniform data nearly all rows stay live for
+    # ~log2(N/2k) rounds, which at 10M series is ~19 full copies — a
+    # measured 48 GB OOM. Each round now pays two extra bounded jobs (the
+    # done-slice checkpoint, usually tiny, and the nxt materialization
+    # that the NEXT round's stats agg would have paid anyway) to release
+    # the previous cache immediately.
     while True:
         # split decisions computed DISTRIBUTIVELY: per-pid count + spread
         # array; the reference's "first column with strictly greater
@@ -119,20 +122,21 @@ def mondrian_partition(
         )
         if dec.count() == 0:
             # terminal round: everything left is final
-            done_parts.append(cur.localCheckpoint(eager=False))
+            done_parts.append(cur.localCheckpoint(eager=True))
+            cur.unpersist()
             break
         # finals = rows whose pid has no split decision. Anti-join (not
         # isin): thousands of string literals in the plan make every
-        # later Catalyst analysis pass quadratic. The LAZY checkpoint
-        # truncates this part's logical plan at its first materialization
-        # (the union count below) without spending a per-round job —
-        # keeping analysis of all downstream plans (gid join,
-        # applyInPandas) O(1) in the round count. No broadcast hints:
-        # AQE picks broadcast while dec is small and falls back to a
-        # shuffle join when the live-partition count grows past that.
+        # later Catalyst analysis pass quadratic. The EAGER checkpoint
+        # both truncates this part's logical plan (keeping analysis of
+        # all downstream plans O(1) in the round count) and copies the
+        # slice out of cur's cache so cur can be released this round.
+        # No broadcast hints: AQE picks broadcast while dec is small and
+        # falls back to a shuffle join when the live-partition count
+        # grows past that.
         done_parts.append(
             cur.join(dec.select("pid"), "pid", "left_anti")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         nxt = (
             cur.join(dec, "pid")
@@ -157,20 +161,26 @@ def mondrian_partition(
             )
             .persist()
         )
-        round_caches.append(nxt)
+        # materialize nxt from cur's cache, then release cur NOW — this
+        # is the O(N*rounds) -> O(N) step (the next round's stats agg
+        # would have materialized nxt anyway, so the extra cost is only
+        # the action overhead)
+        nxt.count()
+        cur.unpersist()
         cur = nxt
-        round_no += 1
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    # ONE materialization for the whole union (reads the round caches),
-    # then free every intermediate cache. persist (not localCheckpoint):
-    # checkpoint RDDs linger until driver GC and accumulate across calls.
+    # ONE cache for the whole union (reads the already-materialized done
+    # checkpoints), then free their blocks — checkpoint RDDs otherwise
+    # linger until driver GC and accumulate across calls.
     out = out.persist()
     n_rows = out.count()
-    for c in round_caches:
-        c.unpersist()
+    from .kapra import _release_local_checkpoint
+
+    for p in done_parts:
+        _release_local_checkpoint(p)
     # GroupID: leaf pids are prefix-free, so lexicographic order == the
     # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119).
     # Assigned DISTRIBUTIVELY: distinct pids ranked by global pid order
