@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kapra_timeseries_anonymization_spark.operators.kapra import (
+    _release_local_checkpoint,
+)
 from kapra_timeseries_anonymization_spark.operators.rank import distributed_rank
 
 
@@ -124,6 +127,7 @@ def mondrian_partition(
             # terminal round: everything left is final
             done_parts.append(cur.localCheckpoint(eager=True))
             cur.unpersist()
+            _release_local_checkpoint(dec)
             break
         # finals = rows whose pid has no split decision. Anti-join (not
         # isin): thousands of string literals in the plan make every
@@ -164,9 +168,13 @@ def mondrian_partition(
         # materialize nxt from cur's cache, then release cur NOW — this
         # is the O(N*rounds) -> O(N) step (the next round's stats agg
         # would have materialized nxt anyway, so the extra cost is only
-        # the action overhead)
+        # the action overhead). blocking=True: an async drop can lag
+        # behind the next round's fill under fast rounds; the per-round
+        # dec checkpoint (consumed by the done slice and nxt, both now
+        # materialized) is freed too.
         nxt.count()
-        cur.unpersist()
+        cur.unpersist(blocking=True)
+        _release_local_checkpoint(dec)
         cur = nxt
 
     out = done_parts[0]
@@ -177,8 +185,6 @@ def mondrian_partition(
     # linger until driver GC and accumulate across calls.
     out = out.persist()
     n_rows = out.count()
-    from .kapra import _release_local_checkpoint
-
     for p in done_parts:
         _release_local_checkpoint(p)
     # GroupID: leaf pids are prefix-free, so lexicographic order == the

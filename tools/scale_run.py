@@ -63,6 +63,10 @@ def main() -> None:
         extra_conf={
             "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch -Xms"
             + os.environ["SPARK_DRIVER_MEM"],
+            # iterative pipelines leave broadcast/checkpoint carcasses that
+            # only the GC-driven ContextCleaner reclaims; at 20+ rounds a
+            # lazy GC lets them pile onto the live working set
+            "spark.cleaner.periodicGC.interval": "30s",
         },
     )
     src = synth_series(spark, args.n).persist()
