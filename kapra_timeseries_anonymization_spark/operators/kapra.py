@@ -39,6 +39,7 @@ breakpoint-cell count (28^4 for levels 3..8).
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 from decimal import Decimal
@@ -51,6 +52,10 @@ from pyspark.sql.window import Window
 from ..functions.sax_udfs import make_sax_levels_udf, pattern_loss_udf
 from .envelope import envelope_agg, merge_envelope_agg
 from .rank import distributed_rank
+
+#: per-invocation plan-uniquing token (see the `_run` comment in
+#: kapra_anonymize and the root-pid comment in operators/naive.py)
+_RUN_SEQ = itertools.count()
 
 
 @dataclass
@@ -156,9 +161,31 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     cache manager, so ``df.unpersist()`` is a no-op on them; reach the
     LogicalRDD's backing RDD instead (ADVICE r02: repeated fallback
     invocations in one session leaked checkpointed RDDs until shutdown).
-    Best-effort — internal API, guarded; never call on a checkpoint that
-    any live plan may still read (its lineage is truncated, so the blocks
-    are the ONLY copy)."""
+    Best-effort — internal API, guarded.
+
+    LIFETIME RULE (r04, VERDICT r03 #2 — every call site must satisfy
+    BOTH clauses; the r03 grid-parity crash came from violating them):
+
+    1. WITHIN a pipeline: release a checkpoint only after every
+       DataFrame whose plan reads it is either (a) itself eagerly
+       checkpointed, or (b) persisted AND fully materialized by an
+       action, AND no further cache-miss recompute of that reader is
+       required for correctness (a localCheckpoint has no lineage — its
+       blocks are the only copy, so a reader evicted after release dies
+       with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing).
+       When the reader outlives the operator (e.g. a returned `records`
+       cache), thread the checkpoint handles OUT to the caller
+       (`_ckpt_parts` in operators/naive.py, `rank_caches` in the
+       fallback below) and release at final materialization.
+    2. ACROSS concurrent pipelines in one session: never share a
+       persisted plan you intend to release. Spark's CacheManager
+       aliases sameResult plans to one InMemoryRelation, so an
+       unpersist in one thread can drop blocks a sibling still reads.
+       Every iterative operator therefore embeds a per-invocation
+       literal (naive root pid token, kapra `_run` column) that makes
+       its cached plans unique; checkpointed RDDs are unique per call
+       by construction. tests/test_concurrency.py stress-tests both
+       clauses."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -199,10 +226,21 @@ def kapra_anonymize(
     levels = list(range(3, sax_level + 1))
     sax_udf = make_sax_levels_udf(levels, n_segments)
 
+    # `_run` PLAN-UNIQUING column (r04, VERDICT r03 #2): `base` (and the
+    # derived `combo_df`) depends only on (input plan, sax_level), so two
+    # concurrent same-level configs in plans/optimize.py run_grid build
+    # sameResult plans that Spark's CacheManager aliases to one
+    # InMemoryRelation — then one thread's end-of-run `base.unpersist()`
+    # drops blocks the sibling's live jobs still read (the naive
+    # pipeline's variant of this crashed r03's grid-parity test). The
+    # distinct literal makes every invocation's caches self-contained;
+    # it is pruned out of every downstream shuffle/join by explicit
+    # column selection.
     base = (
         df.select(
             F.col(index_col).cast("long").alias("original_index"),
             F.col(values_col).alias("values"),
+            F.lit(f"k{next(_RUN_SEQ)}").alias("_run"),
         )
         .withColumn("sax_vec", sax_udf(F.col("values")))
         .withColumn("combo_key", F.concat_ws("\x1f", F.col("sax_vec")))

@@ -33,6 +33,7 @@ is inherited reference behavior and documented.
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 
@@ -46,6 +47,11 @@ from kapra_timeseries_anonymization_spark.operators.kapra import (
     _release_local_checkpoint,
 )
 from kapra_timeseries_anonymization_spark.operators.rank import distributed_rank
+
+#: per-invocation plan-uniquing token (see the root-pid comment in
+#: mondrian_partition). A process-local counter is enough: aliasing only
+#: happens between plans built in the SAME SparkSession.
+_RUN_SEQ = itertools.count()
 
 
 @dataclass
@@ -74,10 +80,24 @@ def mondrian_partition(
     if t is None:
         t = len(df.select(values_col).first()[0])
 
+    # ROOT PID TOKEN (r04, VERDICT r03 #1): unique per invocation. Two
+    # jobs at once: (1) semantics — every leaf pid shares this prefix, so
+    # lexicographic pid order (== the reference's DFS enumeration) is
+    # unchanged; (2) PLAN UNIQUING — concurrent same-K configs in one
+    # session (plans/optimize.py run_grid) otherwise build byte-identical
+    # `cur` plans, which Spark's CacheManager ALIASES to one
+    # InMemoryRelation ("Asked to cache already cached data"); one
+    # thread's per-round `cur.unpersist(blocking=True)` then drops blocks
+    # a sibling's live lineage still reads, and the recompute crosses that
+    # sibling's already-released localCheckpoints
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the r03 grid-parity crash).
+    # A distinct literal makes every per-config plan non-sameResult, so
+    # each thread's cache lifecycle is fully self-contained.
+    root_pid = f"r{next(_RUN_SEQ)}:"
     cur = df.select(
         F.col(index_col).cast("long").alias("original_index"),
         F.col(values_col).alias("values"),
-    ).withColumn("pid", F.lit("r")).withColumn(
+    ).withColumn("pid", F.lit(root_pid)).withColumn(
         "pos", F.col("original_index")
     )
     done_parts: list[DataFrame] = []
@@ -181,12 +201,17 @@ def mondrian_partition(
     for p in done_parts[1:]:
         out = out.unionByName(p)
     # ONE cache for the whole union (reads the already-materialized done
-    # checkpoints), then free their blocks — checkpoint RDDs otherwise
-    # linger until driver GC and accumulate across calls.
+    # checkpoints). The checkpoints themselves are NOT freed here (r04,
+    # ADVICE r03 #2): `out`'s cache — and every downstream plan built on
+    # it — recomputes THROUGH them on a cache miss, and a localCheckpoint
+    # has no lineage to rebuild from, so releasing under a live reader
+    # turns an eviction into CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
+    # handles are threaded out via ``_ckpt_parts`` and released by
+    # naive_anonymize only after the final `records` cache is
+    # materialized (same discipline as the kapra fallback's
+    # ``rank_caches``).
     out = out.persist()
     n_rows = out.count()
-    for p in done_parts:
-        _release_local_checkpoint(p)
     # GroupID: leaf pids are prefix-free, so lexicographic order == the
     # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119).
     # Assigned DISTRIBUTIVELY: distinct pids ranked by global pid order
@@ -202,6 +227,7 @@ def mondrian_partition(
     # downstream results are materialized
     result._mondrian_cache = out
     result._gid_cache = gid_map._rank_cache
+    result._ckpt_parts = done_parts
     result._n_rows = n_rows
     return result
 
@@ -407,11 +433,20 @@ def naive_anonymize(
         F.countDistinct("group_id").alias("g"),
     ).first()
     # records is materialized in the cache now — release the Mondrian and
-    # GroupID-rank intermediates
+    # GroupID-rank intermediates, THEN the per-round done-slice
+    # checkpoints those caches were reading (lifetime rule: a
+    # localCheckpoint is released only after every cache built over it is
+    # either released or fully materialized; see _release_local_checkpoint
+    # in operators/kapra.py). After this point a `records` eviction
+    # cannot be recomputed — acceptable for the local/bench deployment
+    # (MEMORY_AND_DISK spills rather than drops); a production cluster
+    # run would use reliable checkpoints for fault tolerance.
     for attr in ("_mondrian_cache", "_gid_cache"):
         cache = getattr(parts, attr, None)
         if cache is not None:
             cache.unpersist()
+    for p in getattr(parts, "_ckpt_parts", ()):
+        _release_local_checkpoint(p)
     avg_vl = (row["sv"] or 0.0) / row["c"] if row["c"] else 0.0
     avg_pl = (row["sp"] or 0.0) / row["c"] if row["c"] else 0.0
     return NaiveGroups(records, avg_vl, avg_pl, int(row["g"]))
