@@ -39,15 +39,22 @@ def pack_offsets(
         F.col(size_col).cast("long").alias("_sz"),
         F.md5(F.col(key_col).cast("string")).alias("_h"),
     )
-    t = distributed_running_total(d, "_h", "_sz", "_end")
+    # hex_key: the order key is md5 hex, so the prefix-sum partitioning is
+    # a pure function of the data — no boundary sampling, no persisted
+    # intermediate to leak (ADVICE r03: the query path never released it)
+    t = distributed_running_total(d, "_h", "_sz", "_end", hex_key=True)
     start = F.col("_end") - F.col("_sz")
+    # bins via integral DIV, not floor(double /): double quotients can
+    # round up across an integer boundary once offsets pass ~2^52 stream
+    # units, silently diverging from the oracle's exact `//` (ADVICE r03)
+    cap = int(capacity)
     out = t.select(
         key_col,
         F.col("_sz").alias("size"),
         start.alias("start_off"),
         F.col("_end").alias("end_off"),
-        F.floor(start / capacity).alias("first_bin"),
-        F.floor((F.col("_end") - 1) / capacity).alias("last_bin"),
+        F.expr(f"(_end - _sz) DIV {cap}").alias("first_bin"),
+        F.expr(f"(_end - 1) DIV {cap}").alias("last_bin"),
     )
     out._rank_cache = t._rank_cache
     return out

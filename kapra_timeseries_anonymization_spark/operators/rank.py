@@ -18,18 +18,42 @@ Requires the order key to be UNIQUE (all call sites rank distinct keys);
 with duplicates the boundary rows of equal keys could straddle two range
 partitions and the local row_number would not reproduce the global one.
 
-The range-partitioned intermediate is persisted so the counts branch and
-the rank branch see ONE sampled boundary assignment; the cache is handed
-back via ``_rank_cache`` for the caller to release once its downstream
-result is materialized (same discipline as mondrian_partition's
-``_mondrian_cache``).
+Two partitioning strategies:
+
+- default: ``repartitionByRange`` (sampled boundaries). Because the
+  counts branch and the rank branch must see ONE boundary assignment,
+  the ranged intermediate is persisted and the cache handed back via
+  ``_rank_cache`` for the caller to release once its downstream result
+  is materialized (same discipline as mondrian_partition's
+  ``_mondrian_cache``).
+- ``hex_key=True`` (keys are fixed-length lowercase-hex strings, e.g.
+  md5): the partition id is computed FROM the key — the first 4 hex
+  chars scaled into [0, n). That mapping is a pure, monotone function
+  of the key (hex-string lexicographic order == numeric order), so
+  global order == (_part, key) with NO boundary sampling, which makes
+  the two branches consistent by construction: no persist, no
+  ``_rank_cache`` (it is set to None), nothing for the caller to
+  release, and the result is retry/AQE-stable on a real cluster. This
+  is the 100 TB path for the corpus-shuffle/packing queries (ADVICE
+  r03: their un-released rank caches pinned O(N) rows per session);
+  balance inherits the key distribution — uniform for md5.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _hex_part(order_col: str, num_partitions: int) -> Column:
+    """Deterministic partition id: first 16 bits of the hex key scaled to
+    [0, num_partitions). Monotone in the key's string order, so ascending
+    partition ids hold ascending key ranges — exactly the
+    RangePartitioner contract, without sampling."""
+    v = F.conv(F.substring(F.col(order_col), 1, 4), 16, 10).cast("long")
+    # v*n <= 65535 * n << 2^53, so the double quotient is exact under floor
+    return F.floor((v * num_partitions) / 65536).cast("int")
 
 
 def distributed_rank(
@@ -39,23 +63,32 @@ def distributed_rank(
     start: int = 1,
     cast: str = "int",
     num_partitions: int | None = None,
+    hex_key: bool = False,
 ) -> DataFrame:
     """Add ``rank_col`` = global ascending row_number of ``order_col``
     (values must be unique), starting at ``start``. Equivalent to
     ``F.row_number().over(Window.orderBy(order_col)) + (start-1)`` but
-    scales past one task. Caller must unpersist ``result._rank_cache``
-    after materializing downstream."""
+    scales past one task. With the default strategy the caller must
+    unpersist ``result._rank_cache`` after materializing downstream;
+    with ``hex_key=True`` (see module docstring) there is no cache and
+    ``result._rank_cache`` is None."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .withColumn("_part", F.spark_partition_id())
-        .persist()
-    )
+    if hex_key:
+        ranged = df.withColumn("_part", _hex_part(order_col, num_partitions))
+        cache = None
+    else:
+        ranged = (
+            df.repartitionByRange(num_partitions, F.col(order_col))
+            .withColumn("_part", F.spark_partition_id())
+            .persist()
+        )
+        cache = ranged
     counts = ranged.groupBy("_part").agg(F.count(F.lit(1)).alias("_c"))
     # <= num_partitions rows: the one remaining global window is bounded
-    # by the session's parallelism, not by the data
+    # by the session's parallelism, not by the data (the "WindowExec: No
+    # Partition Defined" WARN it logs is therefore benign — see PLANS.md)
     offsets = counts.select(
         "_part",
         (F.sum("_c").over(Window.orderBy("_part")) - F.col("_c")).alias("_off"),
@@ -69,7 +102,7 @@ def distributed_rank(
         )
         .drop("_part", "_off")
     )
-    out._rank_cache = ranged
+    out._rank_cache = cache
     return out
 
 
@@ -79,6 +112,7 @@ def distributed_running_total(
     value_col: str,
     total_col: str,
     num_partitions: int | None = None,
+    hex_key: bool = False,
 ) -> DataFrame:
     """Add ``total_col`` = inclusive running sum of ``value_col`` in global
     ``order_col`` order (keys must be unique) — the prefix-sum
@@ -86,15 +120,21 @@ def distributed_running_total(
     case), with the same three bounded steps: range partition, local
     window, broadcast per-partition offsets (the one global window runs
     over <= num_partitions subtotal rows). Caller must unpersist
-    ``result._rank_cache`` after materializing downstream."""
+    ``result._rank_cache`` after materializing downstream (None — nothing
+    to release — under ``hex_key=True``, see module docstring)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .withColumn("_part", F.spark_partition_id())
-        .persist()
-    )
+    if hex_key:
+        ranged = df.withColumn("_part", _hex_part(order_col, num_partitions))
+        cache = None
+    else:
+        ranged = (
+            df.repartitionByRange(num_partitions, F.col(order_col))
+            .withColumn("_part", F.spark_partition_id())
+            .persist()
+        )
+        cache = ranged
     subtotals = ranged.groupBy("_part").agg(
         F.sum(value_col).cast("long").alias("_c")
     )
@@ -112,5 +152,5 @@ def distributed_running_total(
         .withColumn(total_col, (local + F.col("_off")).cast("long"))
         .drop("_part", "_off")
     )
-    out._rank_cache = ranged
+    out._rank_cache = cache
     return out

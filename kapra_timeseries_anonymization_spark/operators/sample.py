@@ -49,14 +49,15 @@ def stratified_sample(
     """Keep each row of stratum s with probability ``fractions[s]``
     (``default_fraction`` for unlisted strata), decided by the row key's
     hash — deterministic, partitioning-independent, retry-stable."""
+    # round, not truncate: fractions whose double product lands just
+    # below an integer (0.29 * 1e6 = 289999.999...) must quantize to the
+    # NEAREST bucket count, or the threshold silently disagrees by one
+    # bucket with any independently written SQL oracle (ADVICE r03)
     thresh = None
     for stratum, frac in fractions.items():
         cond = F.col(strata_col) == stratum
-        lit = F.lit(int(frac * BUCKETS))
+        lit = F.lit(int(round(frac * BUCKETS)))
         thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
-    thresh = (
-        thresh.otherwise(F.lit(int(default_fraction * BUCKETS)))
-        if thresh is not None
-        else F.lit(int(default_fraction * BUCKETS))
-    )
+    default_lit = F.lit(int(round(default_fraction * BUCKETS)))
+    thresh = thresh.otherwise(default_lit) if thresh is not None else default_lit
     return df.filter(sample_hash(key_col) < thresh)

@@ -1087,9 +1087,12 @@ def doc_global_shuffle(spark, sf):
     d = read_table(spark, sf, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
     )
-    return distributed_rank(d, "_h", "shuffle_rank", cast="bigint").select(
-        "doc_id", "shuffle_rank"
-    )
+    # hex_key: partition ids derive from the md5 prefix itself — no
+    # sampled boundaries, so no persisted intermediate (ADVICE r03: the
+    # query path pinned an O(N) rank cache for the whole session)
+    return distributed_rank(
+        d, "_h", "shuffle_rank", cast="bigint", hex_key=True
+    ).select("doc_id", "shuffle_rank")
 
 
 @q(

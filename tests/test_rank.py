@@ -82,7 +82,7 @@ def test_pack_offsets_stream_is_gapless(spark):
     )
     out = pack_offsets(df, "doc_id", "n", capacity=1024)
     rows = sorted(out.collect(), key=lambda r: r["start_off"])
-    out._rank_cache.unpersist()
+    assert out._rank_cache is None  # hex_key path: nothing to release
     assert rows[0]["start_off"] == 0
     for a, b in zip(rows, rows[1:]):
         assert a["end_off"] == b["start_off"]  # gapless concat stream
@@ -90,3 +90,56 @@ def test_pack_offsets_stream_is_gapless(spark):
         assert r["first_bin"] == r["start_off"] // 1024
         assert r["last_bin"] == (r["end_off"] - 1) // 1024
         assert r["end_off"] - r["start_off"] == r["size"]
+
+
+@pytest.mark.parametrize("n,num_partitions", [(1, 4), (800, 4), (800, 64)])
+def test_hex_key_matches_global_window(spark, n, num_partitions):
+    """hex_key path (deterministic prefix partitioning, no cache) ==
+    single-task global row_number, for md5-shaped keys."""
+    import hashlib
+
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(n)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    expect = {
+        r["k"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    ranked = distributed_rank(
+        df, "k", "rank", num_partitions=num_partitions, hex_key=True
+    )
+    got = {r["k"]: r["rank"] for r in ranked.collect()}
+    assert ranked._rank_cache is None
+    assert got == expect
+
+
+def test_hex_key_running_total_matches_global_window(spark):
+    import hashlib
+    import random
+
+    from kapra_timeseries_anonymization_spark.operators.rank import (
+        distributed_running_total,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (hashlib.md5(str(i).encode()).hexdigest(), rng.randrange(1, 500))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k string, sz long")
+    expect = {
+        r["k"]: r["tot"]
+        for r in df.withColumn(
+            "tot",
+            F.sum("sz").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    got_df = distributed_running_total(
+        df, "k", "sz", "tot", num_partitions=16, hex_key=True
+    )
+    got = {r["k"]: r["tot"] for r in got_df.collect()}
+    assert got_df._rank_cache is None
+    assert got == expect
