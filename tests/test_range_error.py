@@ -1,0 +1,105 @@
+"""Range-query error: arithmetic pinning + the reference's published claim.
+
+The reference publishes "Range Query Error < 10%" for the naive
+pipeline's best-trade-off config (K=5, P=2, MaxLevel=10) on the
+3,000-record synthetic dataset (/root/reference/docs/naive-algo.md:91)
+with no procedure; operators/range_error.py implements the standard
+uniform-within-envelope estimator. Here: (1) the engine's estimate
+arithmetic is replayed in numpy over the SAME records and predicates
+(the envelope values themselves are already pinned record-for-record by
+tests/test_naive_parity.py), and (2) the golden-dataset run at the
+published config lands under the published bound.
+"""
+
+import numpy as np
+
+from kapra_timeseries_anonymization_spark.operators.kapra import kapra_anonymize
+from kapra_timeseries_anonymization_spark.operators.naive import naive_anonymize
+from kapra_timeseries_anonymization_spark.operators.range_error import (
+    range_predicates,
+    range_query_error,
+    range_query_truth,
+)
+from tests.oracle.legacy_dataset import generate_legacy_dataset, series_matrix
+
+
+def _to_spark(spark, series):
+    rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(series)]
+    return spark.createDataFrame(rows, "original_index long, values array<double>")
+
+
+def test_truth_counts_match_numpy(spark):
+    series = series_matrix(generate_legacy_dataset(400, seed=9)).astype(float)
+    sdf = _to_spark(spark, series)
+    got = {r["qid"]: r for r in range_query_truth(sdf, t=8, n_queries=40).collect()}
+    preds = range_predicates(40, 8, float(series.min()), float(series.max()))
+    assert len(got) == 40
+    for qid, t_idx, lo, hi in preds:
+        col = series[:, t_idx]
+        want = int(((col >= lo) & (col <= hi)).sum())
+        r = got[qid]
+        assert r["t_idx"] == t_idx
+        assert abs(r["q_lo"] - round(lo, 6)) < 1e-12
+        assert r["true_cnt"] == want, qid
+
+
+def test_error_arithmetic_matches_numpy(spark):
+    """Engine est_cnt/rel_err == a numpy replay of the uniform-overlap
+    estimator over the engine's own records (collected once)."""
+    series = series_matrix(generate_legacy_dataset(300, seed=4)).astype(float)
+    sdf = _to_spark(spark, series)
+    res = naive_anonymize(sdf, K=8, P=2, max_level=10, t=8)
+    recs = res.records.select("original_index", "lower", "upper").collect()
+    got = {
+        r["qid"]: r
+        for r in range_query_error(res.records, sdf, t=8, n_queries=40).collect()
+    }
+    res.records.unpersist()
+    preds = range_predicates(40, 8, float(series.min()), float(series.max()))
+    for qid, t_idx, lo, hi in preds:
+        true_cnt = est = 0.0
+        for rec in recs:
+            v = series[rec["original_index"], t_idx]
+            if lo <= v <= hi:
+                true_cnt += 1
+            el, eu = rec["lower"][t_idx], rec["upper"][t_idx]
+            if eu > el:
+                est += max(0.0, min(eu, hi) - max(el, lo)) / (eu - el)
+            elif lo <= el <= hi:
+                est += 1.0
+        r = got[qid]
+        assert r["true_cnt"] == int(true_cnt), qid
+        assert abs(r["est_cnt"] - est) < 1e-4, qid
+        if true_cnt > 0:
+            assert abs(r["rel_err"] - abs(est - true_cnt) / true_cnt) < 1e-4
+        else:
+            assert r["rel_err"] is None
+
+
+def test_published_claim_naive_under_10pct(spark):
+    """docs/naive-algo.md:91: K=5, P=2, MaxLevel=10 on the 3,000-record
+    golden dataset -> range query error < 10% (mean over defined
+    queries). Also recorded for KAPRA at the same (K, P)."""
+    series = series_matrix(generate_legacy_dataset(3000, seed=42)).astype(float)
+    sdf = _to_spark(spark, series)
+
+    res_n = naive_anonymize(sdf, K=5, P=2, max_level=10, t=8)
+    errs_n = [
+        r["rel_err"]
+        for r in range_query_error(res_n.records, sdf, t=8, n_queries=50).collect()
+        if r["rel_err"] is not None
+    ]
+    res_n.records.unpersist()
+    assert len(errs_n) >= 40
+    mean_n = float(np.mean(errs_n))
+    assert mean_n < 0.10, f"naive mean range error {mean_n:.4f} >= 10%"
+
+    res_k = kapra_anonymize(sdf, K=5, P=2, sax_level=8, t=8, compute_pl=False)
+    errs_k = [
+        r["rel_err"]
+        for r in range_query_error(res_k.records, sdf, t=8, n_queries=50).collect()
+        if r["rel_err"] is not None
+    ]
+    res_k.records.unpersist()
+    # no published KAPRA bound; assert the metric is finite and sane
+    assert errs_k and all(e >= 0 for e in errs_k)
