@@ -63,6 +63,14 @@ def run_once(spark, sf_dir: str, names) -> dict[str, float]:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         times[f"_rows_{name}"] = n
+        # release pipeline-internal caches threaded out via the
+        # _result_cache/_rank_cache convention — without this, 4 runs of
+        # each anonymization query pin 4 O(N) records caches for the
+        # session (memory-pressure jitter, VERDICT r03 #6)
+        for attr in ("_result_cache", "_rank_cache"):
+            cache = getattr(df, attr, None)
+            if cache is not None:
+                cache.unpersist()
     return times
 
 

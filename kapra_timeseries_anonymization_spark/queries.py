@@ -59,6 +59,20 @@ def _ts_str(col) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def _carry_cache(out: DataFrame, cache: DataFrame) -> DataFrame:
+    """Thread an anonymization pipeline's internal ``records`` cache out
+    to the harness (r04, same discipline as ``_rank_cache``): the cache
+    must outlive the returned lazy result — its lineage reads released
+    checkpoints/caches — so the QUERY cannot unpersist it, but leaving it
+    pinned leaks O(N) per invocation (bench runs every query 4x; this
+    was the likely kapra_user_activity variance source, VERDICT r03 #6).
+    bench.py and tools/check_queries.py release ``_result_cache`` after
+    materializing; a harness that doesn't simply keeps the old
+    cache-until-session-end behavior."""
+    out._result_cache = cache
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Relational core on the TPC-H-ish tables (S1-S4, A4-A6, O1-O7, J-ops)
 # ---------------------------------------------------------------------------
@@ -640,7 +654,7 @@ def kapra_output_table(spark, sf):
     ).withColumn(
         "h1_hi", F.regexp_extract("H1", r"\[(-?\d+)-(-?\d+)\]", 2).cast("double")
     )
-    return out.orderBy("GroupID", "original_index")
+    return _carry_cache(out.orderBy("GroupID", "original_index"), res.records)
 
 
 @q("plot_cluster_envelope", None)
@@ -653,7 +667,8 @@ def plot_cluster_envelope(spark, sf):
     parse/selection exactness is pytest-gated in tests/test_plots.py."""
     from .plans.plots import cluster_envelope_data
 
-    return cluster_envelope_data(kapra_output_table(spark, sf))
+    src = kapra_output_table(spark, sf)
+    return _carry_cache(cluster_envelope_data(src), src._result_cache)
 
 
 @q("kapra_grid_search", None)
@@ -710,9 +725,12 @@ def kapra_transcripts(spark, sf):
     t = transcripts_from_events(spark, sf)
     series = conv_turn_rate_series(t, n_buckets=8)
     res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
-    return res.records.select(
-        "original_index", "group_id", "pattern", "level",
-        F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+    return _carry_cache(
+        res.records.select(
+            "original_index", "group_id", "pattern", "level",
+            F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+        ),
+        res.records,
     )
 
 
@@ -1407,9 +1425,12 @@ def kapra_user_activity(spark, sf):
     ev = read_table(spark, sf, "events")
     series = user_activity_series(ev)
     res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
-    return res.records.select(
-        "original_index", "group_id", "pattern", "level",
-        F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+    return _carry_cache(
+        res.records.select(
+            "original_index", "group_id", "pattern", "level",
+            F.round("pl", 6).alias("pl"), F.round("vl", 6).alias("vl"),
+        ),
+        res.records,
     )
 
 
@@ -1430,10 +1451,13 @@ def naive_output_table(spark, sf):
         ).alias(f"H{i + 1}")
         for i in range(8)
     ]
-    return rec.select(
-        F.col("group_id").alias("GroupID"), *iv,
-        F.col("pattern").alias("Pattern"), "original_index",
-    ).orderBy("GroupID", "original_index")
+    return _carry_cache(
+        rec.select(
+            F.col("group_id").alias("GroupID"), *iv,
+            F.col("pattern").alias("Pattern"), "original_index",
+        ).orderBy("GroupID", "original_index"),
+        rec,
+    )
 
 
 @q("naive_user_activity", None)
@@ -1444,9 +1468,12 @@ def naive_user_activity(spark, sf):
     ev = read_table(spark, sf, "events")
     series = user_activity_series(ev)
     res = naive_anonymize(series, K=8, P=2, max_level=10, t=8)
-    return res.records.select(
-        "original_index", "group_id", "leaf_seq", "pattern", "level",
-        F.round("vl", 4).alias("vl"),
+    return _carry_cache(
+        res.records.select(
+            "original_index", "group_id", "leaf_seq", "pattern", "level",
+            F.round("vl", 4).alias("vl"),
+        ),
+        res.records,
     )
 
 
@@ -1531,7 +1558,9 @@ def naive_range_query_error(spark, sf):
     ev = read_table(spark, sf, "events")
     series = user_activity_series(ev)
     res = naive_anonymize(series, K=5, P=2, max_level=10, t=8)
-    return range_query_error(res.records, series, t=8, n_queries=50)
+    return _carry_cache(
+        range_query_error(res.records, series, t=8, n_queries=50), res.records
+    )
 
 
 @q("kapra_range_query_error", None)
@@ -1545,4 +1574,6 @@ def kapra_range_query_error(spark, sf):
     ev = read_table(spark, sf, "events")
     series = user_activity_series(ev)
     res = kapra_anonymize(series, K=5, P=2, sax_level=8, t=8)
-    return range_query_error(res.records, series, t=8, n_queries=50)
+    return _carry_cache(
+        range_query_error(res.records, series, t=8, n_queries=50), res.records
+    )

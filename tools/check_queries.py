@@ -53,6 +53,12 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # release pipeline caches threaded out via the harness
+            # convention (see queries._carry_cache / operators/rank.py)
+            for attr in ("_result_cache", "_rank_cache"):
+                cache = getattr(sdf, attr, None)
+                if cache is not None:
+                    cache.unpersist()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
