@@ -101,16 +101,21 @@ def mondrian_partition(
         "pos", F.col("original_index")
     )
     done_parts: list[DataFrame] = []
+    terminal_cache: DataFrame | None = None
     cur = cur.persist()
-    # MEMORY SHAPE (r03): peak footprint is O(N) — the current round's
-    # cache + the next round's + the accumulated done slices. The r02
-    # scheme (lazy done slices reading every round's still-alive cache)
-    # was O(N * rounds): with uniform data nearly all rows stay live for
-    # ~log2(N/2k) rounds, which at 10M series is ~19 full copies — a
-    # measured 48 GB OOM. Each round now pays two extra bounded jobs (the
-    # done-slice checkpoint, usually tiny, and the nxt materialization
-    # that the NEXT round's stats agg would have paid anyway) to release
-    # the previous cache immediately.
+    # MEMORY SHAPE (r03, tightened r04): peak footprint is O(N) — the
+    # current round's cache + the next round's + the accumulated done
+    # slices (disjoint, <= N rows total). The r02 scheme (lazy done
+    # slices reading every round's still-alive cache) was O(N * rounds):
+    # with uniform data nearly all rows stay live for ~log2(N/2k)
+    # rounds, which at 10M series is ~19 full copies — a measured 48 GB
+    # OOM. Each round now pays two extra bounded jobs (the done-slice
+    # checkpoint, usually tiny, and the nxt materialization that the
+    # NEXT round's stats agg would have paid anyway) to release the
+    # previous cache immediately. r04 removed the two remaining full
+    # copies: the terminal round keeps cur's cache as the final slice
+    # (no checkpoint duplicate of the largest slice) and the done-part
+    # union is no longer cached (its inputs are materialized blocks).
     while True:
         # split decisions computed DISTRIBUTIVELY: per-pid count + spread
         # array; the reference's "first column with strictly greater
@@ -144,9 +149,17 @@ def mondrian_partition(
             .localCheckpoint(eager=True)
         )
         if dec.count() == 0:
-            # terminal round: everything left is final
-            done_parts.append(cur.localCheckpoint(eager=True))
-            cur.unpersist()
+            # terminal round: everything left is final. Reuse cur's OWN
+            # cache as the final slice instead of copying it into a
+            # checkpoint (r04): with low-entropy data nearly all rows
+            # stay live to the last round, so the copy transiently
+            # tripled the largest slice (live cache + checkpoint +
+            # unroll) — the 10M-series OOM spike. cur's plan is one
+            # hop off the previous round's checkpoint, so no plan-growth
+            # truncation is needed; the cache is threaded out for
+            # release with the checkpoints.
+            done_parts.append(cur)
+            terminal_cache = cur
             _release_local_checkpoint(dec)
             break
         # finals = rows whose pid has no split decision. Anti-join (not
@@ -200,17 +213,19 @@ def mondrian_partition(
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    # ONE cache for the whole union (reads the already-materialized done
-    # checkpoints). The checkpoints themselves are NOT freed here (r04,
-    # ADVICE r03 #2): `out`'s cache — and every downstream plan built on
-    # it — recomputes THROUGH them on a cache miss, and a localCheckpoint
-    # has no lineage to rebuild from, so releasing under a live reader
-    # turns an eviction into CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
-    # handles are threaded out via ``_ckpt_parts`` and released by
+    # NO union cache (r04): every done part is an already-materialized
+    # checkpoint (or the terminal round's live cache), so the union is a
+    # block read — caching it would hold a second full copy of the data
+    # through the split phase. The two downstream consumers (distinct-pid
+    # rank, final join) re-read the blocks instead. The checkpoints are
+    # NOT freed here (ADVICE r03 #2): every downstream plan reads
+    # through them, and a localCheckpoint has no lineage to rebuild
+    # from, so releasing under a live reader turns an eviction into
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The handles are threaded out
+    # via ``_ckpt_parts``/``_terminal_cache`` and released by
     # naive_anonymize only after the final `records` cache is
     # materialized (same discipline as the kapra fallback's
     # ``rank_caches``).
-    out = out.persist()
     n_rows = out.count()
     # GroupID: leaf pids are prefix-free, so lexicographic order == the
     # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119).
@@ -225,9 +240,9 @@ def mondrian_partition(
     result = out.join(gid_map, "pid")
     # hand the caches to the caller so they can be released once
     # downstream results are materialized
-    result._mondrian_cache = out
     result._gid_cache = gid_map._rank_cache
-    result._ckpt_parts = done_parts
+    result._ckpt_parts = [p for p in done_parts if p is not terminal_cache]
+    result._terminal_cache = terminal_cache
     result._n_rows = n_rows
     return result
 
@@ -441,7 +456,7 @@ def naive_anonymize(
     # cannot be recomputed — acceptable for the local/bench deployment
     # (MEMORY_AND_DISK spills rather than drops); a production cluster
     # run would use reliable checkpoints for fault tolerance.
-    for attr in ("_mondrian_cache", "_gid_cache"):
+    for attr in ("_gid_cache", "_terminal_cache"):
         cache = getattr(parts, attr, None)
         if cache is not None:
             cache.unpersist()
