@@ -83,39 +83,44 @@ def mondrian_partition(
     # ROOT PID TOKEN (r04, VERDICT r03 #1): unique per invocation. Two
     # jobs at once: (1) semantics — every leaf pid shares this prefix, so
     # lexicographic pid order (== the reference's DFS enumeration) is
-    # unchanged; (2) PLAN UNIQUING — concurrent same-K configs in one
-    # session (plans/optimize.py run_grid) otherwise build byte-identical
-    # `cur` plans, which Spark's CacheManager ALIASES to one
-    # InMemoryRelation ("Asked to cache already cached data"); one
-    # thread's per-round `cur.unpersist(blocking=True)` then drops blocks
-    # a sibling's live lineage still reads, and the recompute crosses that
-    # sibling's already-released localCheckpoints
+    # unchanged; (2) PLAN UNIQUING — the r03 design persisted
+    # byte-identical `cur` plans across concurrent same-K configs
+    # (plans/optimize.py run_grid), which Spark's CacheManager ALIASED to
+    # one InMemoryRelation; one thread's per-round unpersist then dropped
+    # blocks a sibling's live lineage still read
     # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the r03 grid-parity crash).
-    # A distinct literal makes every per-config plan non-sameResult, so
-    # each thread's cache lifecycle is fully self-contained.
+    # The loop now runs on per-round checkpoints (unique RDDs by
+    # construction, see PLAN SHAPE below), so the token is
+    # belt-and-braces for the loop itself, but it still uniquifies any
+    # derived plan a future reader might persist, and it costs nothing.
     root_pid = f"r{next(_RUN_SEQ)}:"
     cur = df.select(
         F.col(index_col).cast("long").alias("original_index"),
         F.col(values_col).alias("values"),
     ).withColumn("pid", F.lit(root_pid)).withColumn(
         "pos", F.col("original_index")
-    )
+    ).localCheckpoint(eager=True)
     done_parts: list[DataFrame] = []
-    terminal_cache: DataFrame | None = None
-    cur = cur.persist()
-    # MEMORY SHAPE (r03, tightened r04): peak footprint is O(N) — the
-    # current round's cache + the next round's + the accumulated done
-    # slices (disjoint, <= N rows total). The r02 scheme (lazy done
+    # MEMORY SHAPE (r03, reworked r04): peak footprint is O(N) — the
+    # current round's checkpoint + the next round's + the accumulated
+    # done slices (disjoint, <= N rows total). The r02 scheme (lazy done
     # slices reading every round's still-alive cache) was O(N * rounds):
     # with uniform data nearly all rows stay live for ~log2(N/2k)
     # rounds, which at 10M series is ~19 full copies — a measured 48 GB
-    # OOM. Each round now pays two extra bounded jobs (the done-slice
-    # checkpoint, usually tiny, and the nxt materialization that the
-    # NEXT round's stats agg would have paid anyway) to release the
-    # previous cache immediately. r04 removed the two remaining full
-    # copies: the terminal round keeps cur's cache as the final slice
-    # (no checkpoint duplicate of the largest slice) and the done-part
-    # union is no longer cached (its inputs are materialized blocks).
+    # OOM.
+    #
+    # PLAN SHAPE (r04): `cur` is an EAGER localCheckpoint every round,
+    # not a persist. A persisted cur chains InMemoryRelations — each
+    # round's plan embeds the previous round's logical child AND cached
+    # physical plan, so the plan TREE (and its per-job description
+    # string) grows exponentially in the round count: at 10M series
+    # (~19 rounds) the description hit Spark's ~2^31-char cap and each
+    # job spent minutes building 2 GB strings (driver wedged at <1% CPU,
+    # r04 scale-run log). A checkpoint is the same O(N_live) block
+    # handoff the cache already paid, but the plan every round is a
+    # constant-depth LogicalRDD. The previous round's blocks are
+    # released as soon as the next round's checkpoint and the done
+    # slice are materialized.
     while True:
         # split decisions computed DISTRIBUTIVELY: per-pid count + spread
         # array; the reference's "first column with strictly greater
@@ -149,17 +154,12 @@ def mondrian_partition(
             .localCheckpoint(eager=True)
         )
         if dec.count() == 0:
-            # terminal round: everything left is final. Reuse cur's OWN
-            # cache as the final slice instead of copying it into a
-            # checkpoint (r04): with low-entropy data nearly all rows
-            # stay live to the last round, so the copy transiently
-            # tripled the largest slice (live cache + checkpoint +
-            # unroll) — the 10M-series OOM spike. cur's plan is one
-            # hop off the previous round's checkpoint, so no plan-growth
-            # truncation is needed; the cache is threaded out for
-            # release with the checkpoints.
+            # terminal round: everything left is final. cur is already a
+            # materialized checkpoint — reuse it as the final slice
+            # (r04): with low-entropy data nearly all rows stay live to
+            # the last round, so re-checkpointing here would transiently
+            # double the largest slice (the 10M-series OOM spike).
             done_parts.append(cur)
-            terminal_cache = cur
             _release_local_checkpoint(dec)
             break
         # finals = rows whose pid has no split decision. Anti-join (not
@@ -196,17 +196,15 @@ def mondrian_partition(
                 .cast("long")
                 .alias("pos"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        # materialize nxt from cur's cache, then release cur NOW — this
-        # is the O(N*rounds) -> O(N) step (the next round's stats agg
-        # would have materialized nxt anyway, so the extra cost is only
-        # the action overhead). blocking=True: an async drop can lag
-        # behind the next round's fill under fast rounds; the per-round
-        # dec checkpoint (consumed by the done slice and nxt, both now
-        # materialized) is freed too.
-        nxt.count()
-        cur.unpersist(blocking=True)
+        # nxt is materialized (eager checkpoint, constant-depth plan);
+        # the done slice was checkpointed above; nothing references the
+        # previous round's blocks anymore — release them NOW. This is
+        # the O(N*rounds) -> O(N) step (the next round's stats agg would
+        # have materialized nxt anyway, so the extra cost is only the
+        # action overhead).
+        _release_local_checkpoint(cur)
         _release_local_checkpoint(dec)
         cur = nxt
 
@@ -241,8 +239,7 @@ def mondrian_partition(
     # hand the caches to the caller so they can be released once
     # downstream results are materialized
     result._gid_cache = gid_map._rank_cache
-    result._ckpt_parts = [p for p in done_parts if p is not terminal_cache]
-    result._terminal_cache = terminal_cache
+    result._ckpt_parts = done_parts
     result._n_rows = n_rows
     return result
 
@@ -456,10 +453,9 @@ def naive_anonymize(
     # cannot be recomputed — acceptable for the local/bench deployment
     # (MEMORY_AND_DISK spills rather than drops); a production cluster
     # run would use reliable checkpoints for fault tolerance.
-    for attr in ("_gid_cache", "_terminal_cache"):
-        cache = getattr(parts, attr, None)
-        if cache is not None:
-            cache.unpersist()
+    gid_cache = getattr(parts, "_gid_cache", None)
+    if gid_cache is not None:
+        gid_cache.unpersist()
     for p in getattr(parts, "_ckpt_parts", ()):
         _release_local_checkpoint(p)
     avg_vl = (row["sv"] or 0.0) / row["c"] if row["c"] else 0.0

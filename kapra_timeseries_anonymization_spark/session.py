@@ -78,6 +78,12 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # plan DESCRIPTIONS are built eagerly per query execution (for
+        # listener events, even with the UI off) at a default cap of
+        # ~2^31 chars; deep iterative plans can hit it (a 2 GB string
+        # build per job wedged the 10M Mondrian run, r04). 100k chars is
+        # plenty for humans and bounds the cost. Display-only.
+        .config("spark.sql.maxPlanStringLength", "100000")
     )
     for k, v in _BLAS_PIN.items():
         # cluster mode: ship the pin to executor-side python workers too
