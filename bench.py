@@ -71,6 +71,13 @@ def run_once(spark, sf_dir: str, names) -> dict[str, float]:
             cache = getattr(df, attr, None)
             if cache is not None:
                 cache.unpersist()
+        ckpt = getattr(df, "_result_ckpt", None)
+        if ckpt is not None:
+            from kapra_timeseries_anonymization_spark.operators.kapra import (
+                _release_local_checkpoint,
+            )
+
+            _release_local_checkpoint(ckpt)
     return times
 
 

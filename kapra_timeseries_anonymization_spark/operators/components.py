@@ -103,7 +103,13 @@ def connected_components(
         prev_sig = sig
     else:
         raise RuntimeError(f"no convergence in {max_iter} star rounds")
-    # stars: children u -> root v, plus the roots themselves
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component_id")).unionByName(
-        e.select("v", "v").distinct().toDF("node", "component_id")
-    )
+    # stars: children u -> root v, plus the roots themselves. The final
+    # round's checkpoint backs the result and must outlive it; the
+    # handle is threaded out via `_result_ckpt` (released by the bench/
+    # check harnesses with _release_local_checkpoint after
+    # materializing — the lifetime rule in operators/kapra.py).
+    out = e.select(
+        F.col("u").alias("node"), F.col("v").alias("component_id")
+    ).unionByName(e.select("v", "v").distinct().toDF("node", "component_id"))
+    out._result_ckpt = e
+    return out

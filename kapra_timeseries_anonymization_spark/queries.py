@@ -1089,9 +1089,10 @@ def doc_dup_components(spark, sf):
 
     d = read_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
-    return connected_components(pairs, "id_a", "id_b").select(
-        F.col("node").alias("doc_id"), "component_id"
-    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = comp.select(F.col("node").alias("doc_id"), "component_id")
+    out._result_ckpt = comp._result_ckpt
+    return out
 
 
 @q(

@@ -59,6 +59,13 @@ def main():
                 cache = getattr(sdf, attr, None)
                 if cache is not None:
                     cache.unpersist()
+            ckpt = getattr(sdf, "_result_ckpt", None)
+            if ckpt is not None:
+                from kapra_timeseries_anonymization_spark.operators.kapra import (
+                    _release_local_checkpoint,
+                )
+
+                _release_local_checkpoint(ckpt)
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
