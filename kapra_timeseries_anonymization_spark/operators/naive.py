@@ -139,9 +139,9 @@ def mondrian_partition(
         # EAGER localCheckpoint: dec appears in TWO joins below AND feeds
         # next round's cur — without truncation the logical plan would
         # double per round (exponential growth -> analyzer OOM). The
-        # checkpoint job is one tiny agg over the cached cur (the same
-        # work the r01 stats-collect paid), and the decision rows stay
-        # distributed instead of crossing to the driver.
+        # checkpoint job is one tiny agg over cur's checkpoint blocks
+        # (the same work the r01 stats-collect paid), and the decision
+        # rows stay distributed instead of crossing to the driver.
         dec = (
             stats.filter((F.col("n") >= 2 * k) & (best > 0))
             .select(
@@ -167,7 +167,7 @@ def mondrian_partition(
         # later Catalyst analysis pass quadratic. The EAGER checkpoint
         # both truncates this part's logical plan (keeping analysis of
         # all downstream plans O(1) in the round count) and copies the
-        # slice out of cur's cache so cur can be released this round.
+        # slice out of cur's blocks so cur can be released this round.
         # No broadcast hints: AQE picks broadcast while dec is small and
         # falls back to a shuffle join when the live-partition count
         # grows past that.
