@@ -15,7 +15,71 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StringType
 
-from .kernels import pattern_loss_block, sax_all_levels_block, sax_block
+from .kernels import (
+    SAX_BREAKPOINTS,
+    _SIGMA_FLOOR,
+    pattern_loss_block,
+    sax_all_levels_block,
+    sax_block,
+)
+
+
+def sax_paa_expr(values_col: str, t: int = 8, n_segments: int = 4) -> F.Column:
+    """JVM-side z-norm + PAA for the flagship shape (t=8, 4 segments of
+    2): array<double> of the 4 PAA values. Bit-exact mirror of
+    ``kernels.znorm_block``/``paa_block``: numpy 1.26's pairwise
+    reduction for 8 contiguous float64s is the adjacent-pairs tree
+    ``((a0+a1)+(a2+a3))+((a4+a5)+(a6+a7))`` (probed on this numpy build;
+    pinned bit-for-bit in tests/test_kernels.py), reproduced
+    term-for-term for both the mean and the variance sums; rows with
+    sigma < 1e-6 become all-zero PAA (reference sax_utils.py:11-12)."""
+    if t != 8 or n_segments != 4:
+        raise ValueError("expression path supports t=8, n_segments=4 only")
+    v = [F.col(values_col).getItem(i).cast("double") for i in range(8)]
+
+    def tree8(x: list) -> F.Column:
+        return ((x[0] + x[1]) + (x[2] + x[3])) + ((x[4] + x[5]) + (x[6] + x[7]))
+
+    mean = tree8(v) / F.lit(8.0)
+    d = [x - mean for x in v]
+    var = tree8([y * y for y in d]) / F.lit(8.0)
+    std = F.sqrt(var)
+    flat = std < F.lit(_SIGMA_FLOOR)
+    zn = [F.when(flat, F.lit(0.0)).otherwise(y / std) for y in d]
+    return F.array(*[(zn[2 * i] + zn[2 * i + 1]) / F.lit(2.0) for i in range(4)])
+
+
+def sax_words_from_paa_expr(
+    paa_col: str, levels: list[int], n_segments: int = 4
+) -> F.Column:
+    """SAX words at every level from a PAA array column: symbol index ==
+    ``searchsorted(bps, p, 'left')`` via a strict ``p > bp`` counter;
+    level < 3 yields the ``"a"*n_segments`` literal (reference
+    sax_utils.py:62-85). Kept as a SEPARATE projection from
+    :func:`sax_paa_expr` so each expression tree stays small — inlining
+    the z-norm/PAA tree into every breakpoint comparison multiplies it
+    ~4*alphabet times per level and wedges Catalyst analysis on deep
+    alphabets (observed at level 20). Assumes NaN-free input (Spark
+    orders NaN above all doubles, searchsorted below; every series
+    producer in this engine is NaN-free by construction)."""
+    alphabet = "abcdefghijklmnopqrst"
+    words = []
+    for lv in levels:
+        if lv not in SAX_BREAKPOINTS:
+            if lv < 3:
+                words.append(F.lit("a" * n_segments))
+                continue
+            raise ValueError(f"Alphabet size {lv} unsupported")
+        segs = []
+        for j in range(n_segments):
+            p = F.col(paa_col).getItem(j)
+            idx = None
+            for bp in SAX_BREAKPOINTS[lv]:
+                term = F.when(p > F.lit(float(bp)), 1).otherwise(0)
+                idx = term if idx is None else idx + term
+            segs.append(F.substring(F.lit(alphabet[:lv]), idx + 1, 1))
+        words.append(F.concat(*segs))
+    return F.array(*words)
 
 
 def _stack(values: pd.Series) -> np.ndarray:

@@ -224,7 +224,18 @@ def kapra_anonymize(
         t = len(df.select(values_col).first()[0])
 
     levels = list(range(3, sax_level + 1))
-    sax_udf = make_sax_levels_udf(levels, n_segments)
+    # SAX scan: Arrow-batched pandas UDF — the measured-fastest path.
+    # NEGATIVE RESULT (r04, pinned like r03's HOF finding): a pure-JVM
+    # staged-projection SAX expression (functions/sax_udfs.py
+    # sax_paa_expr + sax_words_from_paa_expr, bit-exact vs the kernel in
+    # test_sax_expr_bit_equals_udf) measured 2.2-2.7x SLOWER than this
+    # UDF at 10M rows (28-34 s vs 13-16 s, local[16]): codegen's
+    # subexpression elimination skips expressions under conditional CASE
+    # branches, so the z-norm/PAA tree re-evaluates once per breakpoint
+    # term (~4*alphabet times per level), while numpy computes the whole
+    # batch in ~20 vectorized passes. The expressions stay available
+    # (and tested) for fuse-into-scan use cases where avoiding python
+    # workers matters more than throughput.
 
     # `_run` PLAN-UNIQUING column (r04, VERDICT r03 #2): `base` (and the
     # derived `combo_df`) depends only on (input plan, sax_level), so two
@@ -236,16 +247,17 @@ def kapra_anonymize(
     # distinct literal makes every invocation's caches self-contained;
     # it is pruned out of every downstream shuffle/join by explicit
     # column selection.
-    base = (
-        df.select(
-            F.col(index_col).cast("long").alias("original_index"),
-            F.col(values_col).alias("values"),
-            F.lit(f"k{next(_RUN_SEQ)}").alias("_run"),
-        )
-        .withColumn("sax_vec", sax_udf(F.col("values")))
-        .withColumn("combo_key", F.concat_ws("\x1f", F.col("sax_vec")))
-        .persist()
+    base = df.select(
+        F.col(index_col).cast("long").alias("original_index"),
+        F.col(values_col).alias("values"),
+        F.lit(f"k{next(_RUN_SEQ)}").alias("_run"),
     )
+    base = base.withColumn(
+        "sax_vec", make_sax_levels_udf(levels, n_segments)(F.col("values"))
+    )
+    base = base.withColumn(
+        "combo_key", F.concat_ws("\x1f", F.col("sax_vec"))
+    ).persist()
     # materialize the cache BEFORE the combo join below: its two branches
     # would otherwise race to compute the same uncached partitions (block-
     # lock contention + a duplicate SAX-UDF worker wave — measured 27x

@@ -115,3 +115,44 @@ def test_znorm_matches_reference_formula():
     for r in range(20):
         s = block[r]
         np.testing.assert_array_equal(zn[r], (s - s.mean()) / s.std())
+
+
+def test_sax_expr_bit_equals_udf(spark):
+    """JVM expression SAX == numpy-UDF SAX, string-exact, across random
+    scales, flat rows (sigma < 1e-6), and all table levels 2..20 plus the
+    level-1 literal. Pins the numpy pairwise-reduction replication in
+    make_sax_levels_expr."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kapra_timeseries_anonymization_spark.functions.sax_udfs import (
+        make_sax_levels_udf,
+        sax_paa_expr,
+        sax_words_from_paa_expr,
+    )
+
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(4000):
+        scale = 10.0 ** rng.integers(-3, 5)
+        rows.append([float(x) for x in rng.standard_normal(8) * scale])
+    rows += [[5.0] * 8, [0.0] * 8, [1e-9 + 1.0] * 8]      # flat rows
+    rows += [[float(x) for x in rng.integers(0, 50, 8)] for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "id long, values array<double>"
+    )
+    levels = [1, 2] + list(range(3, 21))
+    got = (
+        df.withColumn("_paa", sax_paa_expr("values"))
+        .select("id", sax_words_from_paa_expr("_paa", levels).alias("w"))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        df.select("id", make_sax_levels_udf(levels)(F.col("values")).alias("w"))
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for g, w in zip(got, want):
+        assert list(g["w"]) == list(w["w"]), (g["id"], g["w"], w["w"])
