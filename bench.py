@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kapra_timeseries_anonymization_spark.plans.lifetime import release_all
 from kapra_timeseries_anonymization_spark.queries import REGISTRY
 from kapra_timeseries_anonymization_spark.session import build_session
 
@@ -63,21 +64,12 @@ def run_once(spark, sf_dir: str, names) -> dict[str, float]:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         times[f"_rows_{name}"] = n
-        # release pipeline-internal caches threaded out via the
-        # _result_cache/_rank_cache convention — without this, 4 runs of
-        # each anonymization query pin 4 O(N) records caches for the
-        # session (memory-pressure jitter, VERDICT r03 #6)
-        for attr in ("_result_cache", "_rank_cache"):
-            cache = getattr(df, attr, None)
-            if cache is not None:
-                cache.unpersist()
-        ckpt = getattr(df, "_result_ckpt", None)
-        if ckpt is not None:
-            from kapra_timeseries_anonymization_spark.operators.kapra import (
-                _release_local_checkpoint,
-            )
-
-            _release_local_checkpoint(ckpt)
+        # release pipeline-internal caches/checkpoints via the session
+        # lifetime registry (r05, VERDICT r04 #3: replaces the
+        # _result_cache/_rank_cache/_result_ckpt attribute convention) —
+        # without this, 4 runs of each anonymization query pin 4 O(N)
+        # records caches for the session (memory-pressure jitter)
+        release_all()
     return times
 
 

@@ -40,11 +40,21 @@ def compress_chunks(
 ) -> DataFrame:
     """events/points -> one Gorilla chunk per (keys, tumbling time bucket)."""
     interval_us = int(chunk_interval_sec) * 1_000_000
+    # exact integral floor division (ADVICE r04): floor(double-quotient)
+    # diverges from integer // for timestamps approaching 2^52 us, which
+    # would desync the bucket rule from the DuckDB oracle's exact `//`.
+    # (x - pmod(x, i)) is an exact multiple of i, so DIV of it is the
+    # floor quotient in pure long arithmetic at any magnitude/sign.
     src = df.select(
         *keys,
         _us(ts_col).alias("_ts_us"),
         F.col(value_col).cast("double").alias("_v"),
-    ).withColumn("chunk_idx", F.floor(F.col("_ts_us") / interval_us).cast("long"))
+    ).withColumn(
+        "chunk_idx",
+        F.expr(
+            f"(_ts_us - pmod(_ts_us, {interval_us}L)) DIV {interval_us}L"
+        ).cast("long"),
+    )
 
     key_fields = [df.schema[k] for k in keys]
     out_schema = T.StructType(

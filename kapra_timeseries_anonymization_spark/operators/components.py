@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.lifetime import register_checkpoint
 from .kapra import _release_local_checkpoint
 
 
@@ -104,12 +105,14 @@ def connected_components(
     else:
         raise RuntimeError(f"no convergence in {max_iter} star rounds")
     # stars: children u -> root v, plus the roots themselves. The final
-    # round's checkpoint backs the result and must outlive it; the
-    # handle is threaded out via `_result_ckpt` (released by the bench/
-    # check harnesses with _release_local_checkpoint after
-    # materializing — the lifetime rule in operators/kapra.py).
-    out = e.select(
+    # round's checkpoint backs the result and must outlive it; it is
+    # registered with the session lifetime registry (r05, ADVICE r04:
+    # the old `_result_ckpt` attribute vanished across any caller
+    # transformation and pinned blocks for callers that didn't know the
+    # convention) — the harness frees it via plans.lifetime.release_all()
+    # AFTER materializing the result; re-collecting after that raises
+    # rather than recomputing (a localCheckpoint has no lineage).
+    register_checkpoint(e)
+    return e.select(
         F.col("u").alias("node"), F.col("v").alias("component_id")
     ).unionByName(e.select("v", "v").distinct().toDF("node", "component_id"))
-    out._result_ckpt = e
-    return out

@@ -220,10 +220,10 @@ def mondrian_partition(
     # through them, and a localCheckpoint has no lineage to rebuild
     # from, so releasing under a live reader turns an eviction into
     # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The handles are threaded out
-    # via ``_ckpt_parts``/``_terminal_cache`` and released by
-    # naive_anonymize only after the final `records` cache is
-    # materialized (same discipline as the kapra fallback's
-    # ``rank_caches``).
+    # via ``_ckpt_parts`` (the terminal round's checkpoint is simply one
+    # of the parts) and released by naive_anonymize only after the final
+    # `records` cache is materialized (same discipline as the kapra
+    # fallback's ``rank_caches``).
     n_rows = out.count()
     # GroupID: leaf pids are prefix-free, so lexicographic order == the
     # reference's DFS (lhs-first) enumeration order (k_anon.py:116-119).
@@ -422,6 +422,18 @@ def naive_anonymize(
     n_segments: int = 4,
     t: int | None = None,
 ) -> NaiveGroups:
+    """Naive top-down (k,P) pipeline: Mondrian -> per-k-group node
+    splitting -> bad-leaf absorption. Returns :class:`NaiveGroups` whose
+    ``records`` cache the caller unpersists when done.
+
+    Fault-tolerance note (ADVICE r04): after this function returns, the
+    Mondrian per-round checkpoints backing ``records``'s lineage have
+    been RELEASED — the cache is the only copy. On the local/bench
+    deployment that is safe (MEMORY_AND_DISK spills rather than drops);
+    on a real cluster an executor loss after return surfaces as a query
+    failure, not a recompute. A production run wanting recompute-on-loss
+    would swap the per-round localCheckpoints for reliable checkpoints
+    (same call sites, `spark.sparkContext.setCheckpointDir`)."""
     parts = mondrian_partition(df, values_col, index_col, K, t)
     # bucket count: enough tasks to saturate the cluster, few enough that
     # Arrow/python-worker overhead amortizes over many groups per task;

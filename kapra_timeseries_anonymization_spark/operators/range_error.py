@@ -116,10 +116,17 @@ def range_query_error(
     ``records`` must carry (original_index, lower, upper) — the output
     of either (k,P) pipeline; ``series`` the raw (original_index,
     values). ``rel_err`` is NULL where true_cnt = 0 (relative error is
-    undefined there; callers average over the non-null rows). Records
-    suppressed by the pipeline simply contribute nothing to the
-    estimate, exactly as a consumer of the anonymized table would
-    experience."""
+    undefined there; callers average over the non-null rows).
+
+    Truth semantics (r05, ADVICE r04 medium): ``true_cnt`` counts over
+    the FULL raw series — including series the pipeline suppressed
+    (KAPRA drops sub-P residue) — because the metric models a consumer
+    asking the raw table vs the anonymized table. Suppressed series
+    therefore count toward the truth and contribute 0 to the estimate
+    (series LEFT JOIN records; a missing envelope estimates 0), which
+    makes this truth identical to :func:`range_query_truth` on the same
+    predicates and removes the downward bias the old INNER join gave
+    rel_err when n_suppressed > 0."""
     spark = series.sparkSession
     vmin, vmax = _domain(series, values_col)
     pdf = spark.createDataFrame(
@@ -128,7 +135,11 @@ def range_query_error(
     )
     joined = (
         series.select("original_index", F.col(values_col).alias("_v"))
-        .join(records.select("original_index", "lower", "upper"), "original_index")
+        .join(
+            records.select("original_index", "lower", "upper"),
+            "original_index",
+            "left",
+        )
         .crossJoin(F.broadcast(pdf))
     )
     v = F.element_at("_v", F.col("t_idx") + 1)
@@ -139,8 +150,10 @@ def range_query_error(
         F.lit(0.0),
         F.least(up, F.col("q_hi")) - F.greatest(lo, F.col("q_lo")),
     )
-    est = F.when(width > 0, overlap / width).otherwise(
-        F.when((lo >= F.col("q_lo")) & (lo <= F.col("q_hi")), 1.0).otherwise(0.0)
+    est = F.when(F.col("lower").isNull(), 0.0).otherwise(
+        F.when(width > 0, overlap / width).otherwise(
+            F.when((lo >= F.col("q_lo")) & (lo <= F.col("q_hi")), 1.0).otherwise(0.0)
+        )
     )
     hit = F.when((v >= F.col("q_lo")) & (v <= F.col("q_hi")), 1).otherwise(0)
     agg = joined.groupBy("qid", "t_idx", "q_lo", "q_hi").agg(

@@ -39,6 +39,7 @@ from .operators.kapra import kapra_anonymize
 from .operators.naive import naive_anonymize
 from .operators.rollup import cascade
 from .sources.tables import read_table
+from .plans.lifetime import register_cache
 from .sources.transcripts import (
     TRANSCRIPTS_ORACLE_CTE,
     conv_turn_rate_series,
@@ -60,16 +61,15 @@ def _ts_str(col) -> F.Column:
 
 
 def _carry_cache(out: DataFrame, cache: DataFrame) -> DataFrame:
-    """Thread an anonymization pipeline's internal ``records`` cache out
-    to the harness (r04, same discipline as ``_rank_cache``): the cache
-    must outlive the returned lazy result — its lineage reads released
-    checkpoints/caches — so the QUERY cannot unpersist it, but leaving it
-    pinned leaks O(N) per invocation (bench runs every query 4x; this
-    was the likely kapra_user_activity variance source, VERDICT r03 #6).
-    bench.py and tools/check_queries.py release ``_result_cache`` after
-    materializing; a harness that doesn't simply keeps the old
-    cache-until-session-end behavior."""
-    out._result_cache = cache
+    """Register an anonymization pipeline's internal ``records`` cache
+    with the session lifetime registry (r05, VERDICT r04 #3: this used to
+    be the ``_result_cache`` attribute convention — attributes vanish
+    across DataFrame wrappers and leak under convention-unaware
+    harnesses). The cache must outlive the returned lazy result — its
+    lineage reads released checkpoints — so the QUERY cannot unpersist
+    it; bench.py and tools/check_queries.py call
+    plans.lifetime.release_all() after materializing."""
+    register_cache(cache)
     return out
 
 
@@ -657,6 +657,135 @@ def kapra_output_table(spark, sf):
     return _carry_cache(out.orderBy("GroupID", "original_index"), res.records)
 
 
+def _output_structure(
+    series: DataFrame,
+    rec: DataFrame,
+    n_suppressed: int,
+    K: int,
+    int_intervals: bool,
+    n_cols: int = 8,
+) -> DataFrame:
+    """SQL-expressible structure of an anonymized output table (r05,
+    VERDICT r04 #5): one row of invariants the DuckDB oracle can assert.
+
+    - n_series_input: recounted from the RAW derived series (a real
+      Spark job over the source table) — cross-checked against the
+      oracle's count over the raw parquet, so a derivation that drops
+      keys mismatches the hash.
+    - conserved: output rows + suppressed == input series (record
+      conservation through the whole pipeline).
+    - intervals_ordered: lower[i] <= upper[i] for every record/col.
+    - parse_roundtrip: format->parse identity on the reference-shaped
+      '[lo-hi]' interval strings (M7 ∘ M8 == id), int-cast bounds for
+      KAPRA, raw doubles for naive.
+    - gid_dense: GroupIDs are exactly 1..G (the reference is 1-based).
+    - k_satisfied: every output group has >= K records.
+    """
+    import functools
+    import operator
+
+    n_in = series.count()
+    ordered, roundtrip = [], []
+    for i in range(n_cols):
+        lo, up = F.col("lower")[i], F.col("upper")[i]
+        ordered.append(lo <= up)
+        if int_intervals:
+            fmt = F.format_string("[%d-%d]", lo.cast("long"), up.cast("long"))
+            rx = r"\[(-?\d+)-(-?\d+)\]"
+            plo = F.regexp_extract(fmt, rx, 1).cast("long")
+            phi = F.regexp_extract(fmt, rx, 2).cast("long")
+            roundtrip.append((plo == lo.cast("long")) & (phi == up.cast("long")))
+        else:
+            # naive keeps raw doubles; activity-count series are >= 0 so
+            # the lower bound never starts with '-' and the separator is
+            # unambiguous
+            fmt = F.concat(
+                F.lit("["), lo.cast("string"), F.lit("-"),
+                up.cast("string"), F.lit("]"),
+            )
+            rx = r"\[([^-]+)-(.+)\]"
+            plo = F.regexp_extract(fmt, rx, 1).cast("double")
+            phi = F.regexp_extract(fmt, rx, 2).cast("double")
+            roundtrip.append((plo == lo) & (phi == up))
+    a = rec.agg(
+        F.count(F.lit(1)).alias("_n_out"),
+        F.bool_and(functools.reduce(operator.and_, ordered)).alias(
+            "intervals_ordered"
+        ),
+        F.bool_and(functools.reduce(operator.and_, roundtrip)).alias(
+            "parse_roundtrip"
+        ),
+        F.countDistinct("group_id").alias("_ng"),
+        F.min("group_id").alias("_gmin"),
+        F.max("group_id").alias("_gmax"),
+    )
+    g = rec.groupBy("group_id").count().agg(F.min("count").alias("_minsz"))
+    return a.crossJoin(g).select(
+        F.lit(int(n_in)).cast("long").alias("n_series_input"),
+        (F.col("_n_out") + F.lit(int(n_suppressed)) == F.lit(int(n_in))).alias(
+            "conserved"
+        ),
+        "intervals_ordered",
+        "parse_roundtrip",
+        # reference GroupIDs are 1-based (docs/data/kapra_anonymized.csv)
+        ((F.col("_ng") == F.col("_gmax")) & (F.col("_gmin") == 1)).alias(
+            "gid_dense"
+        ),
+        (F.col("_minsz") >= K).alias("k_satisfied"),
+    )
+
+
+_STRUCTURE_FLAGS = (
+    "TRUE AS conserved, TRUE AS intervals_ordered, TRUE AS parse_roundtrip, "
+    "TRUE AS gid_dense, TRUE AS k_satisfied"
+)
+
+
+@q(
+    "kapra_output_structure",
+    f"""
+    WITH {TRANSCRIPTS_ORACLE_CTE}
+    SELECT count(DISTINCT conv_id)::BIGINT AS n_series_input,
+           {_STRUCTURE_FLAGS}
+    FROM transcripts2
+    """,
+)
+def kapra_output_structure(spark, sf):
+    """Partial oracle for kapra_output_table (r05, VERDICT r04 #5): the
+    SQL-expressible structure of the reference-shaped KAPRA output —
+    record conservation (rows + suppressed == input series, input
+    recounted from raw data and cross-checked by DuckDB), interval
+    ordering, M7∘M8 format/parse identity, GroupID density, and the
+    k-anonymity floor. Value exactness stays pytest-gated."""
+    t = transcripts_from_events(spark, sf)
+    series = conv_turn_rate_series(t, n_buckets=8)
+    res = kapra_anonymize(series, K=8, P=2, sax_level=8, t=8)
+    out = _output_structure(
+        series, res.records, res.n_suppressed, K=8, int_intervals=True
+    )
+    return _carry_cache(out, res.records)
+
+
+@q(
+    "naive_output_structure",
+    """
+    SELECT count(DISTINCT user_id)::BIGINT AS n_series_input,
+           """ + _STRUCTURE_FLAGS + """
+    FROM events
+    """,
+)
+def naive_output_structure(spark, sf):
+    """Partial oracle for naive_output_table (r05, VERDICT r04 #5): same
+    structural invariants as kapra_output_structure over the naive
+    pipeline's raw-double interval strings (no suppression: conservation
+    is rows == input series)."""
+    ev = read_table(spark, sf, "events")
+    series = user_activity_series(ev)
+    res = naive_anonymize(series, K=8, P=2, max_level=10, t=8)
+    out = _output_structure(series, res.records, 0, K=8, int_intervals=False)
+    return _carry_cache(out, res.records)
+
+
 @q("plot_cluster_envelope", None)
 def plot_cluster_envelope(spark, sf):
     """generate_plots analogue (reference src/generate_plots.py:69-148):
@@ -667,53 +796,125 @@ def plot_cluster_envelope(spark, sf):
     parse/selection exactness is pytest-gated in tests/test_plots.py."""
     from .plans.plots import cluster_envelope_data
 
-    src = kapra_output_table(spark, sf)
-    return _carry_cache(cluster_envelope_data(src), src._result_cache)
+    src = kapra_output_table(spark, sf)  # registers its own cache (r05)
+    return cluster_envelope_data(src)
 
 
-@q("kapra_grid_search", None)
-def kapra_grid_search(spark, sf):
-    """Hyper-parameter sweep (reference optimize_kapra entry point): the
-    VERDICT-r01 12-config subset (K in {5,10} x P in {2,3} x L in
-    {3,5,8}) over the transcript turn-rate series via a driver thread
-    pool, min-max scored. Rows-only: losses are KAPRA-UDF products;
-    reference-CSV parity per config is enforced in
-    tests/test_grid_parity.py and the full 96-config sweep is recorded
-    in GRID_PARITY.md (tools/grid_parity.py)."""
-    from .plans.optimize import run_grid, score_results
+# Published per-config (VL, PL) the grid-search queries are held to
+# (r05, VERDICT r04 #4: full oracle via the literal-embedding technique).
+# KAPRA: copied verbatim from the reference's committed
+# docs/data/kapra_optimization_results.csv (byte-reproduced by the
+# current reference code in-sandbox, see tests/test_grid_parity.py).
+KAPRA_GRID_REF = {
+    (5, 2, 3): (22.223831304900365, 0.16956357767461105),
+    (5, 2, 5): (18.593057740580438, 0.15395765947251913),
+    (5, 2, 8): (15.963091912338143, 0.14398883133328577),
+    (5, 3, 3): (22.115051400702534, 0.16956357767461105),
+    (5, 3, 5): (18.84410363782153, 0.1541004167277454),
+    (5, 3, 8): (17.39181599396074, 0.14495431191713193),
+    (10, 2, 3): (24.264677829463235, 0.16956357767461105),
+    (10, 2, 5): (21.448508851981483, 0.15395765947251913),
+    (10, 2, 8): (18.928808033729574, 0.14398883133328563),
+    (10, 3, 3): (24.2717652796768, 0.16956357767461105),
+    (10, 3, 5): (21.929967798048256, 0.15410041672774538),
+    (10, 3, 8): (19.575679457208754, 0.14495431191713212),
+}
+# NAIVE: from tests/oracle/naive_grid_reference.csv — a deterministic
+# fresh rerun of the unmodified reference code (the CSV committed in the
+# reference tree is stale on 58/96 VL values; forensics in
+# tests/test_grid_parity.py's docstring), itself matched by the in-repo
+# numpy oracle on all 96 configs at 1e-6.
+NAIVE_GRID_REF = {
+    (5, 2, 5): (3.1386216, 0.3479889285008874),
+    (5, 3, 8): (4.1364444, 0.4721820043995703),
+    (10, 2, 10): (3.317834066666667, 0.2920114154132412),
+    (10, 3, 5): (4.535050166666666, 0.3533859198332075),
+}
+_GRID_ATOL = 1e-6  # same bar as GRID_PARITY.md's 192/192 full sweep
 
-    t = transcripts_from_events(spark, sf)
-    series = conv_turn_rate_series(t, n_buckets=8)
-    configs = [
-        (k, p, lv) for k in (5, 10) for p in (2, 3) for lv in (3, 5, 8)
-    ]
-    results = run_grid(series, configs, algo="kapra", parallelism=4)
-    top = score_results(results, top=len(configs))
+
+def _golden_series(spark):
+    """The reference's seed-42 golden input (3,000 series), regenerated
+    deterministically by the declared clean-room replay in
+    tests/oracle/legacy_dataset.py (reference src/dataset.py:6-115)."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:  # driver harnesses may run from elsewhere
+        sys.path.insert(0, root)
+    from tests.oracle.legacy_dataset import generate_legacy_dataset, series_matrix
+
+    series = series_matrix(generate_legacy_dataset(3000, seed=42))
     return spark.createDataFrame(
-        [(d["k"], d["p"], d["level"], d["vl"], d["pl"], d["score"]) for d in top],
-        "k int, p int, level int, vl double, pl double, score double",
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(series)],
+        "original_index long, values array<double>",
     )
 
 
-@q("naive_grid_search", None)
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for DuckDB: E-notation parses straight to
+    double (strtod, correctly rounded); a plain decimal literal goes
+    through DECIMAL whose cast to DOUBLE can be off by one ulp."""
+    s = repr(float(x))
+    return s if "e" in s or "E" in s else s + "e0"
+
+
+def _grid_literals_sql(ref: dict) -> str:
+    rows = ",\n        ".join(
+        f"({k}, {p}, {lv}, {_dlit(vl)}, {_dlit(pl)}, TRUE, TRUE)"
+        for (k, p, lv), (vl, pl) in sorted(ref.items())
+    )
+    return (
+        "SELECT * FROM (VALUES\n        "
+        + rows
+        + "\n    ) AS t(k, p, level, vl_ref, pl_ref, vl_ok, pl_ok)"
+        + " ORDER BY k, p, level"
+    )
+
+
+def _grid_parity_df(spark, ref: dict, algo: str, parallelism: int):
+    from .plans.optimize import run_grid
+
+    results = run_grid(
+        _golden_series(spark), sorted(ref), algo=algo, parallelism=parallelism
+    )
+    rows = []
+    for r in sorted(results, key=lambda r: (r.k, r.p, r.level)):
+        vl_ref, pl_ref = ref[(r.k, r.p, r.level)]
+        rows.append(
+            (r.k, r.p, r.level, vl_ref, pl_ref,
+             abs(r.vl - vl_ref) < _GRID_ATOL, abs(r.pl - pl_ref) < _GRID_ATOL)
+        )
+    return spark.createDataFrame(
+        rows,
+        "k int, p int, level int, vl_ref double, pl_ref double, "
+        "vl_ok boolean, pl_ok boolean",
+    )
+
+
+@q("kapra_grid_search", _grid_literals_sql(KAPRA_GRID_REF))
+def kapra_grid_search(spark, sf):
+    """Hyper-parameter sweep (reference optimize_kapra entry point) on
+    the regenerated golden dataset: the VERDICT-r01 12-config subset
+    (K in {5,10} x P in {2,3} x L in {3,5,8}) via a driver thread pool.
+    FULL ORACLE (r05): each config's engine VL/PL is compared to the
+    reference's published CSV value embedded as a literal (1e-6, the
+    GRID_PARITY.md bar); DuckDB replays the same literals, so a hash
+    match proves the engine reproduces every published number. The full
+    96-config sweep is in GRID_PARITY.md (tools/grid_parity.py); the
+    engine-data sweep path stays exercised by tests/test_optimize.py."""
+    return _grid_parity_df(spark, KAPRA_GRID_REF, "kapra", parallelism=4)
+
+
+@q("naive_grid_search", _grid_literals_sql(NAIVE_GRID_REF))
 def naive_grid_search(spark, sf):
     """Hyper-parameter sweep for the naive top-down pipeline (reference
-    optimize_naive entry point): 4 configs over the transcript turn-rate
-    series, min-max scored. Rows-only: oracle parity per config is in
-    tests/test_grid_parity.py::test_naive_grid_matches_oracle."""
-    from .plans.optimize import run_grid, score_results
-
-    t = transcripts_from_events(spark, sf)
-    series = conv_turn_rate_series(t, n_buckets=8)
-    results = run_grid(
-        series, [(5, 2, 5), (5, 3, 8), (10, 2, 10), (10, 3, 5)],
-        algo="naive", parallelism=2,
-    )
-    top = score_results(results, top=4)
-    return spark.createDataFrame(
-        [(d["k"], d["p"], d["level"], d["vl"], d["pl"], d["score"]) for d in top],
-        "k int, p int, level int, vl double, pl double, score double",
-    )
+    optimize_naive entry point) on the regenerated golden dataset, held
+    to the validated fresh-rerun reference values (see NAIVE_GRID_REF
+    note — the reference tree's committed CSV is stale). FULL ORACLE
+    (r05), same literal-embedding technique as kapra_grid_search."""
+    return _grid_parity_df(spark, NAIVE_GRID_REF, "naive", parallelism=2)
 
 
 @q("kapra_transcripts", None)
@@ -1090,9 +1291,9 @@ def doc_dup_components(spark, sf):
     d = read_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2)
     comp = connected_components(pairs, "id_a", "id_b")
-    out = comp.select(F.col("node").alias("doc_id"), "component_id")
-    out._result_ckpt = comp._result_ckpt
-    return out
+    # the backing checkpoint is registered with plans.lifetime by the
+    # operator itself; the harness's release_all() frees it (r05)
+    return comp.select(F.col("node").alias("doc_id"), "component_id")
 
 
 @q(

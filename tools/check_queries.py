@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from kapra_timeseries_anonymization_spark.plans.lifetime import release_all
 from kapra_timeseries_anonymization_spark.queries import REGISTRY
 from kapra_timeseries_anonymization_spark.session import build_session
 from kapra_timeseries_anonymization_spark.sources.tables import TABLES
@@ -53,19 +54,9 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            # release pipeline caches threaded out via the harness
-            # convention (see queries._carry_cache / operators/rank.py)
-            for attr in ("_result_cache", "_rank_cache"):
-                cache = getattr(sdf, attr, None)
-                if cache is not None:
-                    cache.unpersist()
-            ckpt = getattr(sdf, "_result_ckpt", None)
-            if ckpt is not None:
-                from kapra_timeseries_anonymization_spark.operators.kapra import (
-                    _release_local_checkpoint,
-                )
-
-                _release_local_checkpoint(ckpt)
+            # release pipeline caches/checkpoints registered with the
+            # session lifetime registry (r05; see plans/lifetime.py)
+            release_all()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
