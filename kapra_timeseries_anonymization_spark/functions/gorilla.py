@@ -256,29 +256,45 @@ def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
     return head + words.astype(">u8").tobytes()[: (total + 7) >> 3]
 
 
+def _sliding_words(pad: np.ndarray) -> np.ndarray:
+    """(8, nw) native-uint64 table of the big-endian 8-byte word at every
+    byte offset: row k holds the words starting at bytes k, k+8, k+16, ...
+    so the word at byte b is ``M[b & 7, b >> 3]``. Built from 8 zero-copy
+    ``>u8`` views byteswapped on assignment — 8 contiguous passes over the
+    payload, no per-field Horner assembly."""
+    nw = (len(pad) - 7) >> 3
+    M = np.empty((8, nw), dtype=np.uint64)
+    for k in range(8):
+        M[k] = np.frombuffer(pad.data, dtype=">u8", count=nw, offset=k)
+    return M
+
+
 def _extract_fields(
-    pad: np.ndarray, pos: np.ndarray, w: np.ndarray
+    M: np.ndarray, pad: np.ndarray, pos: np.ndarray, w: np.ndarray
 ) -> np.ndarray:
     """Vectorized extraction of (bit-pos, width<=64) fields from a
-    zero-padded byte array: gather an 8-byte big-endian window per field,
-    shift out the offset, OR in the up-to-7 spill bits from the 9th
-    byte. Width-0 entries yield 0."""
+    zero-padded byte array: one gather from the sliding-word table per
+    field, shift out the offset, OR in the up-to-7 spill bits from the
+    9th byte. Width-0 entries yield 0 and are skipped entirely (dod==0 /
+    xor==0 points — the bulk of regular-grid tier data)."""
+    out = np.zeros(len(w), dtype=np.uint64)
+    nz = np.flatnonzero(w)
+    if len(nz) == 0:
+        return out
+    if len(nz) < len(w):
+        pos = pos[nz]
+        w = w[nz]
     b0 = (pos >> 3).astype(np.int64)
-    win = pad[b0[:, None] + np.arange(8)]
-    u64 = (
-        win.astype(np.uint64)
-        << np.arange(56, -1, -8, dtype=np.uint64)
-    ).sum(axis=1, dtype=np.uint64)
+    u64 = M[b0 & 7, b0 >> 3]
     off = (pos & 7).astype(np.uint64)
-    wsafe = np.maximum(w, 1).astype(np.uint64)
-    main = (u64 << off) >> (np.uint64(64) - wsafe)
+    main = (u64 << off) >> (np.uint64(64) - w.astype(np.uint64))
     extra = np.maximum(off.astype(np.int64) + w - 64, 0).astype(np.uint64)
     b8 = pad[b0 + 8].astype(np.uint64)
     spill = (b8 >> (np.uint64(8) - extra)) & ((np.uint64(1) << extra) - 1)
     # when the field spills past the window, `main` already carries the
     # high part left-aligned with `extra` zero bits below — plain OR
-    out = main | spill
-    return np.where(w > 0, out, np.uint64(0))
+    out[nz] = main | spill
+    return out
 
 
 def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
@@ -288,7 +304,17 @@ def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     Two-phase (r02): a thin sequential scan reads ONLY control/window
     bits to locate every variable-width field, then numpy extracts all
     payloads at once; dod -> delta -> ts is a double cumsum (mod 2^64)
-    and the value chain is one bitwise_xor.accumulate."""
+    and the value chain is one bitwise_xor.accumulate.
+
+    r05: payload extraction gathers from a sliding-word table
+    (:func:`_sliding_words`) instead of assembling an 8-byte Horner
+    window per field, and width-0 fields are skipped — measured
+    1.13-1.64x decode on this sandbox, bit-exact. A zero-byte-run skip
+    for the scan loop (consume 4 '00' points per zero byte) was
+    benchmarked and REJECTED: the run-table build plus while-loop
+    bookkeeping cost more than the skips saved on every dataset tried,
+    including all-constant values (0.48-1.01x) — the scan's for-loop is
+    already near CPython's floor and the numpy phase dominates."""
     magic, n = struct.unpack_from(">BI", payload, 0)
     if magic != _MAGIC:
         raise ValueError("not a gorilla chunk")
@@ -344,9 +370,10 @@ def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             pos += pm
 
     pad = np.frombuffer(data + b"\x00" * 16, dtype=np.uint8)
+    M = _sliding_words(pad)
     zpos_a = np.asarray(zpos, dtype=np.int64)
     zw_a = np.asarray(zw, dtype=np.int64)
-    z = _extract_fields(pad, zpos_a, zw_a)
+    z = _extract_fields(M, pad, zpos_a, zw_a)
     one = np.uint64(1)
     dod = (z >> one) ^ (np.uint64(0) - (z & one))  # unzigzag, mod-2^64
     delta = np.cumsum(dod)  # uint64 wraps == mod-2^64
@@ -355,7 +382,7 @@ def decode_chunk(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts_u[1:] = np.uint64(t0u) + np.cumsum(delta)
 
     xorp = _extract_fields(
-        pad, np.asarray(vpos, dtype=np.int64), np.asarray(vw, dtype=np.int64)
+        M, pad, np.asarray(vpos, dtype=np.int64), np.asarray(vw, dtype=np.int64)
     )
     xor = xorp << np.asarray(vsh, dtype=np.uint64)
     bits = np.empty(n, dtype=np.uint64)

@@ -13,10 +13,17 @@ tree is stale — see tests/test_grid_parity.py docstring; the fresh rerun
 is itself validated against the in-repo numpy oracle on all 96 configs).
 
 Usage: python tools/grid_parity.py
+       python tools/grid_parity.py --master 'local-cluster[2,4,8192]' \
+           --limit 12 --out GRID_PARITY_cluster.md
+(--master runs the identical sweep on another deployment, e.g. real
+multi-JVM local-cluster executors; --limit N takes every len/N-th config
+for a representative sub-sweep; --out redirects so the canonical
+GRID_PARITY.md is only written by the default full run.)
 """
 
 from __future__ import annotations
 
+import argparse
 import csv
 import os
 import sys
@@ -28,12 +35,25 @@ REF_CSV = "/root/reference/docs/data/kapra_optimization_results.csv"
 ATOL = 1e-6
 
 
+def _subset(configs: list, limit: int | None) -> list:
+    if not limit or limit >= len(configs):
+        return configs
+    step = max(1, len(configs) // limit)
+    return configs[::step][:limit]
+
+
 def main() -> None:
     from kapra_timeseries_anonymization_spark.plans.optimize import run_grid
     from kapra_timeseries_anonymization_spark.session import build_session
     from tests.oracle.legacy_dataset import generate_legacy_dataset, series_matrix
 
-    spark = build_session("grid-parity")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--out", default="GRID_PARITY.md")
+    args = ap.parse_args()
+
+    spark = build_session("grid-parity", master=args.master)
     df = generate_legacy_dataset(3000, seed=42)
     series = series_matrix(df)
     sdf = spark.createDataFrame(
@@ -47,7 +67,7 @@ def main() -> None:
             key = (int(row["K"]), int(row["P"]), int(row["SAX_LEVEL"]))
             ref[key] = (float(row["VL"]), float(row["PL"]), float(row["Time"]))
 
-    configs = sorted(ref)
+    configs = _subset(sorted(ref), args.limit)
     t0 = time.perf_counter()
     results = run_grid(sdf, configs, algo="kapra", t=8, parallelism=8)
     kapra_wall = time.perf_counter() - t0
@@ -105,7 +125,7 @@ def main() -> None:
             key = (int(row["K"]), int(row["P"]), int(row["MAX_LEVEL"]))
             naive_ref[key] = (float(row["VL"]), float(row["PL"]))
 
-    naive_cfgs = sorted(naive_ref)
+    naive_cfgs = _subset(sorted(naive_ref), args.limit)
     t0 = time.perf_counter()
     nresults = run_grid(sdf, naive_cfgs, algo="naive", t=8, parallelism=8)
     naive_wall = time.perf_counter() - t0
@@ -123,8 +143,11 @@ def main() -> None:
         f"**Naive: {len(naive_cfgs) - n_nbad}/{len(naive_cfgs)} configs "
         f"match at atol {ATOL}** ({naive_wall:.1f}s sweep at parallelism 8).",
     ]
+    lines.insert(1, f"\nmaster: `{spark.sparkContext.master}`"
+                 + (f", sub-sweep of {args.limit} configs per grid"
+                    if args.limit else ""))
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "GRID_PARITY.md")
+        os.path.abspath(__file__))), args.out)
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: kapra {len(configs)-n_bad}/{len(configs)}, "

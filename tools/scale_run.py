@@ -51,6 +51,12 @@ def main() -> None:
     ap.add_argument("pipeline", choices=["naive", "kapra-dist", "kapra"])
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="override the master URL, e.g. local-cluster[2,2,8192] for a "
+        "real multi-JVM deployment (separate executor block managers)",
+    )
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--p", type=int, default=2)
     ap.add_argument("--level", type=int, default=8)
@@ -59,7 +65,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = build_session(
         f"scale-{args.pipeline}",
-        master=f"local[{args.cpus}]",
+        master=args.master or f"local[{args.cpus}]",
         extra_conf={
             "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch -Xms"
             + os.environ["SPARK_DRIVER_MEM"],
