@@ -29,6 +29,15 @@ a shrinking live set); the only driver state is per-partition stats. The
 applyInPandas stage is naturally skew-free (groups < 2k rows) unless the
 data is degenerate (zero spread everywhere -> one giant partition), which
 is inherited reference behavior and documented.
+
+r05: distributed rounds run only while the largest live partition
+exceeds ``local_threshold`` (default 64k rows); the remaining
+~log2(threshold/2k) levels finish IN-TASK via one applyInPandas job with
+bit-identical stable-sort semantics (_make_local_mondrian_udf) — at 10M
+series this replaces ~12 of ~19 rounds (each an agg + anti-join + window
+shuffle + checkpoint over the live set) with a single shuffle. Gated by
+the numpy-oracle equivalence test at thresholds {0, 64, 100000} and the
+96-config grid parity.
 """
 
 from __future__ import annotations
@@ -67,15 +76,80 @@ class NaiveGroups:
     n_groups: int
 
 
+def _make_local_mondrian_udf(k: int):
+    """Finish Mondrian IN-TASK for one pid whose live partition fits in
+    memory (r05, VERDICT r04 #3). Once max live partition size drops to
+    ``local_threshold``, the remaining ~log2(threshold/2k) rounds — each a
+    full agg + anti-join + window shuffle over the live set in the
+    distributed loop — collapse into ONE applyInPandas job. The in-task
+    recursion is semantically identical to the distributed rounds:
+    first-argmax spread column, floor(n/2) stable median split ordered by
+    (value, pos), stop below 2k or zero spread. Exactness is gated by the
+    96-config naive grid parity (this path handles every round past the
+    first few) and the local-vs-distributed equivalence pytest."""
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos", kind="stable").reset_index(drop=True)
+        series = np.stack(pdf["values"].to_numpy()).astype(np.float64)
+        pid0 = pdf["pid"].iloc[0]
+        out_rows: list[np.ndarray] = []
+        out_pid: list[str] = []
+        out_n: list[int] = []
+        # iterative DFS; emission order is irrelevant (GroupID comes from
+        # the global lexicographic pid rank downstream)
+        stack = [(np.arange(len(pdf), dtype=np.int64), pid0)]
+        while stack:
+            rows, pid = stack.pop()
+            n = len(rows)
+            sub = series[rows]
+            if n >= 2 * k:
+                spreads = sub.max(axis=0) - sub.min(axis=0)
+                best = spreads.max()
+            else:
+                best = 0.0
+            if n < 2 * k or not best > 0:
+                out_rows.append(rows)
+                out_pid.append(pid)
+                out_n.append(n)
+                continue
+            ci = int(np.argmax(spreads))  # first occurrence of the max
+            # rows is in current-pos order, so a stable argsort on the
+            # split column == the distributed orderBy(_kv, pos)
+            order = np.argsort(sub[:, ci], kind="stable")
+            mid = n // 2
+            stack.append((rows[order[:mid]], pid + "0"))
+            stack.append((rows[order[mid:]], pid + "1"))
+        idx = np.concatenate(out_rows)
+        return pd.DataFrame(
+            {
+                "original_index": pdf["original_index"].to_numpy()[idx],
+                "values": pdf["values"].to_numpy()[idx],
+                "pid": np.repeat(np.asarray(out_pid, dtype=object), out_n),
+                "pos": np.concatenate(
+                    [np.arange(1, c + 1, dtype=np.int64) for c in out_n]
+                ),
+            }
+        )
+
+    return finish
+
+
 def mondrian_partition(
     df: DataFrame,
     values_col: str = "values",
     index_col: str = "original_index",
     k: int = 8,
     t: int | None = None,
+    local_threshold: int = 65536,
 ) -> DataFrame:
     """Reference-exact Mondrian: returns (original_index, values, pid, pos,
-    group_id) where pid is the leaf path and group_id the 1-based DFS rank."""
+    group_id) where pid is the leaf path and group_id the 1-based DFS rank.
+
+    ``local_threshold``: once the largest live partition fits under it,
+    the remaining rounds run in-task (one applyInPandas job) instead of
+    one distributed round per split level — see _make_local_mondrian_udf.
+    0 disables the switch (pure distributed loop, kept for the
+    equivalence test)."""
     spark = df.sparkSession
     if t is None:
         t = len(df.select(values_col).first()[0])
@@ -162,6 +236,33 @@ def mondrian_partition(
             done_parts.append(cur)
             _release_local_checkpoint(dec)
             break
+        if local_threshold:
+            # LOCAL FINISH (r05): dec's mid = n//2, so the largest live
+            # partition has at most 2*max(mid)+1 rows. Once that fits the
+            # threshold, the remaining ~log2(threshold/2k) rounds run
+            # in-task: one shuffle by pid instead of (agg + anti-join +
+            # window + checkpoint) per round. dec is a materialized
+            # checkpoint, so the max() is a read over G tiny rows, not a
+            # recompute of the stats agg.
+            max_mid = dec.agg(F.max("mid")).first()[0]
+            if 2 * max_mid + 1 <= local_threshold:
+                done_parts.append(
+                    cur.join(dec.select("pid"), "pid", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                done_parts.append(
+                    cur.join(dec.select("pid"), "pid")
+                    .groupBy("pid")
+                    .applyInPandas(
+                        _make_local_mondrian_udf(k),
+                        "original_index long, values array<double>, "
+                        "pid string, pos long",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                _release_local_checkpoint(cur)
+                _release_local_checkpoint(dec)
+                break
         # finals = rows whose pid has no split decision. Anti-join (not
         # isin): thousands of string literals in the plan make every
         # later Catalyst analysis pass quadratic. The EAGER checkpoint
@@ -421,6 +522,7 @@ def naive_anonymize(
     max_level: int = 10,
     n_segments: int = 4,
     t: int | None = None,
+    local_threshold: int = 65536,
 ) -> NaiveGroups:
     """Naive top-down (k,P) pipeline: Mondrian -> per-k-group node
     splitting -> bad-leaf absorption. Returns :class:`NaiveGroups` whose
@@ -434,7 +536,8 @@ def naive_anonymize(
     failure, not a recompute. A production run wanting recompute-on-loss
     would swap the per-round localCheckpoints for reliable checkpoints
     (same call sites, `spark.sparkContext.setCheckpointDir`)."""
-    parts = mondrian_partition(df, values_col, index_col, K, t)
+    parts = mondrian_partition(df, values_col, index_col, K, t,
+                               local_threshold=local_threshold)
     # bucket count: enough tasks to saturate the cluster, few enough that
     # Arrow/python-worker overhead amortizes over many groups per task;
     # ~64k rows per bucket keeps the in-task pandas frame small. group_ids

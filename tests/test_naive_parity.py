@@ -79,3 +79,29 @@ def test_naive_3000_defaults_matches_reference_metrics(spark):
     assert got.n_groups == 256
     assert math.isclose(got.avg_vl, 3.3178, abs_tol=5e-4)
     assert math.isclose(got.avg_pl, 0.2920, abs_tol=5e-4)
+
+
+@pytest.mark.parametrize("threshold", [0, 64, 100000])
+def test_mondrian_local_finish_equals_distributed(spark, threshold):
+    """r05 local-finish switch: pure-distributed rounds (threshold=0),
+    mixed (64: a few distributed rounds then in-task finish) and
+    all-local (100000: switch on round 1) must produce IDENTICAL
+    (group_id, member-order) partitions — all compared to the numpy
+    oracle so a shared bug can't self-confirm."""
+    n_rows, seed, K = 600, 7, 8
+    df = generate_legacy_dataset(n_rows, seed=seed)
+    series = series_matrix(df)
+    parts_oracle = _mondrian(series, list(range(n_rows)), K)
+    got = mondrian_partition(
+        _to_spark(spark, series.astype(float)), k=K, t=8,
+        local_threshold=threshold,
+    )
+    rows = got.select("original_index", "group_id", "pos").collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r["group_id"], []).append(
+            (r["pos"], r["original_index"]))
+    assert len(by_gid) == len(parts_oracle)
+    for gid, members in enumerate(parts_oracle, start=1):
+        got_members = [i for _, i in sorted(by_gid[gid])]
+        assert got_members == members, f"group {gid} mismatch (thr={threshold})"
