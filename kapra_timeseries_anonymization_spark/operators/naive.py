@@ -38,6 +38,15 @@ series this replaces ~12 of ~19 rounds (each an agg + anti-join + window
 shuffle + checkpoint over the live set) with a single shuffle. Gated by
 the numpy-oracle equivalence test at thresholds {0, 64, 100000} and the
 96-config grid parity.
+
+r05 head parallelism: while the largest live partition exceeds
+``rank_head_rows`` (default 4M rows) the per-pid median-split row
+number is a range-partitioned two-stage rank instead of
+``Window.partitionBy("pid")`` — round 0 has ONE pid, so the plain
+window sorted the ENTIRE input in one task (measured ~25 min of the
+100M run in round 0 alone). See HEAD PARALLELISM in
+:func:`mondrian_partition`; gated by the same numpy-oracle equivalence
+test at thresholds {0 (never), 1 (always)}.
 """
 
 from __future__ import annotations
@@ -141,6 +150,7 @@ def mondrian_partition(
     k: int = 8,
     t: int | None = None,
     local_threshold: int = 65536,
+    rank_head_rows: int = 4_000_000,
 ) -> DataFrame:
     """Reference-exact Mondrian: returns (original_index, values, pid, pos,
     group_id) where pid is the leaf path and group_id the 1-based DFS rank.
@@ -149,7 +159,14 @@ def mondrian_partition(
     the remaining rounds run in-task (one applyInPandas job) instead of
     one distributed round per split level — see _make_local_mondrian_udf.
     0 disables the switch (pure distributed loop, kept for the
-    equivalence test)."""
+    equivalence test).
+
+    ``rank_head_rows``: while the largest live partition exceeds this
+    many rows, the per-pid median-split row number comes from a
+    range-partitioned two-stage rank (HEAD PARALLELISM below) instead of
+    ``Window.partitionBy("pid")`` — round 0 has ONE pid, so the plain
+    window sorts the whole input in one task. 0 disables (pure window
+    path, kept for the equivalence test)."""
     spark = df.sparkSession
     if t is None:
         t = len(df.select(values_col).first()[0])
@@ -236,16 +253,17 @@ def mondrian_partition(
             done_parts.append(cur)
             _release_local_checkpoint(dec)
             break
+        # dec's mid = n//2, so the largest live partition has at most
+        # 2*max(mid)+1 rows — drives BOTH r05 switches below. dec is a
+        # materialized checkpoint, so this is a read over G tiny rows,
+        # not a recompute of the stats agg.
+        max_live = 2 * dec.agg(F.max("mid")).first()[0] + 1
         if local_threshold:
-            # LOCAL FINISH (r05): dec's mid = n//2, so the largest live
-            # partition has at most 2*max(mid)+1 rows. Once that fits the
-            # threshold, the remaining ~log2(threshold/2k) rounds run
-            # in-task: one shuffle by pid instead of (agg + anti-join +
-            # window + checkpoint) per round. dec is a materialized
-            # checkpoint, so the max() is a read over G tiny rows, not a
-            # recompute of the stats agg.
-            max_mid = dec.agg(F.max("mid")).first()[0]
-            if 2 * max_mid + 1 <= local_threshold:
+            # LOCAL FINISH (r05): once the largest live partition fits
+            # the threshold, the remaining ~log2(threshold/2k) rounds
+            # run in-task: one shuffle by pid instead of (agg +
+            # anti-join + window + checkpoint) per round.
+            if max_live <= local_threshold:
                 done_parts.append(
                     cur.join(dec.select("pid"), "pid", "left_anti")
                     .localCheckpoint(eager=True)
@@ -276,29 +294,95 @@ def mondrian_partition(
             cur.join(dec.select("pid"), "pid", "left_anti")
             .localCheckpoint(eager=True)
         )
-        nxt = (
-            cur.join(dec, "pid")
-            .withColumn("_kv", F.element_at("values", F.col("ci") + 1))
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("pid").orderBy("_kv", "pos")
-                ),
-            )
-            .withColumn("_left", F.col("_rn") <= F.col("mid"))
-            .select(
-                "original_index",
-                "values",
-                F.concat(
-                    F.col("pid"), F.when(F.col("_left"), "0").otherwise("1")
-                ).alias("pid"),
-                F.when(F.col("_left"), F.col("_rn"))
-                .otherwise(F.col("_rn") - F.col("mid"))
-                .cast("long")
-                .alias("pos"),
-            )
-            .localCheckpoint(eager=True)
+        live = cur.join(dec, "pid").withColumn(
+            "_kv", F.element_at("values", F.col("ci") + 1)
         )
+        split_cols = [
+            "original_index",
+            "values",
+            F.concat(
+                F.col("pid"), F.when(F.col("_left"), "0").otherwise("1")
+            ).alias("pid"),
+            F.when(F.col("_left"), F.col("_rn"))
+            .otherwise(F.col("_rn") - F.col("mid"))
+            .cast("long")
+            .alias("pos"),
+        ]
+        if rank_head_rows and max_live > rank_head_rows:
+            # HEAD PARALLELISM (r05): Window.partitionBy("pid") sorts
+            # each pid in ONE task, so the stage's wall-clock is the
+            # serial (spilling) sort of the LARGEST live partition —
+            # round 0 has a single pid covering the whole input (the
+            # measured 100M round-0 sort ran ~25 min in one task). When
+            # the largest partition exceeds ``rank_head_rows``, the
+            # per-pid row number is instead computed as a
+            # range-partitioned two-stage rank (same scheme as
+            # operators/rank.py, grouped):
+            # range-partition on the full sort key (pid,_kv,pos), eager-
+            # checkpoint ONCE so the counts branch and the rank branch see
+            # the same boundary assignment (repartitionByRange samples),
+            # then _rn = parallel local row_number within (_part,pid)
+            # + broadcast per-(pid,_part) prefix offsets (<= nparts + ndec
+            # rows). Identical semantics: keys are unique (pos is), so
+            # ascending _part ranges hold ascending (pid,_kv,pos) and the
+            # composed rank == the global per-pid row number. Costs one
+            # extra O(N_live) checkpoint + one parallel exchange per head
+            # round (measured: a net LOSS below ~2M-row partitions, which
+            # is why the switch is row-thresholded, not pid-counted);
+            # buys full-cluster sort parallelism on exactly the rounds
+            # that carry the most rows. Transient memory is 3 live-set
+            # copies (cur, ranged, nxt) instead of 2 — bounded, released
+            # in-round.
+            nparts = spark.sparkContext.defaultParallelism * 4
+            ranged = (
+                live.repartitionByRange(nparts, "pid", "_kv", "pos")
+                .withColumn("_part", F.spark_partition_id())
+                .localCheckpoint(eager=True)
+            )
+            offs = (
+                ranged.groupBy("_part", "pid")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .select(
+                    "_part",
+                    "pid",
+                    (
+                        F.sum("_c").over(
+                            Window.partitionBy("pid").orderBy("_part")
+                        )
+                        - F.col("_c")
+                    ).alias("_off"),
+                )
+            )
+            nxt = (
+                ranged.join(F.broadcast(offs), ["_part", "pid"])
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_part", "pid").orderBy(
+                            "_kv", "pos"
+                        )
+                    )
+                    + F.col("_off"),
+                )
+                .withColumn("_left", F.col("_rn") <= F.col("mid"))
+                .select(*split_cols)
+                .localCheckpoint(eager=True)
+            )
+            _release_local_checkpoint(ranged)
+        else:
+            # partitions small enough that per-pid in-task sorts beat the
+            # rank path's extra checkpoint + exchange
+            nxt = (
+                live.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("pid").orderBy("_kv", "pos")
+                    ),
+                )
+                .withColumn("_left", F.col("_rn") <= F.col("mid"))
+                .select(*split_cols)
+                .localCheckpoint(eager=True)
+            )
         # nxt is materialized (eager checkpoint, constant-depth plan);
         # the done slice was checkpointed above; nothing references the
         # previous round's blocks anymore — release them NOW. This is
@@ -523,6 +607,7 @@ def naive_anonymize(
     n_segments: int = 4,
     t: int | None = None,
     local_threshold: int = 65536,
+    rank_head_rows: int = 4_000_000,
 ) -> NaiveGroups:
     """Naive top-down (k,P) pipeline: Mondrian -> per-k-group node
     splitting -> bad-leaf absorption. Returns :class:`NaiveGroups` whose
@@ -537,7 +622,8 @@ def naive_anonymize(
     would swap the per-round localCheckpoints for reliable checkpoints
     (same call sites, `spark.sparkContext.setCheckpointDir`)."""
     parts = mondrian_partition(df, values_col, index_col, K, t,
-                               local_threshold=local_threshold)
+                               local_threshold=local_threshold,
+                               rank_head_rows=rank_head_rows)
     # bucket count: enough tasks to saturate the cluster, few enough that
     # Arrow/python-worker overhead amortizes over many groups per task;
     # ~64k rows per bucket keeps the in-task pandas frame small. group_ids

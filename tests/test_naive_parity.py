@@ -81,20 +81,28 @@ def test_naive_3000_defaults_matches_reference_metrics(spark):
     assert math.isclose(got.avg_pl, 0.2920, abs_tol=5e-4)
 
 
-@pytest.mark.parametrize("threshold", [0, 64, 100000])
-def test_mondrian_local_finish_equals_distributed(spark, threshold):
-    """r05 local-finish switch: pure-distributed rounds (threshold=0),
-    mixed (64: a few distributed rounds then in-task finish) and
-    all-local (100000: switch on round 1) must produce IDENTICAL
-    (group_id, member-order) partitions — all compared to the numpy
-    oracle so a shared bug can't self-confirm."""
+@pytest.mark.parametrize(
+    "threshold,rank_rows",
+    [
+        (0, 0),        # pure distributed loop, plain-window splits
+        (0, 1),        # pure distributed loop, every split two-stage rank
+        (64, 64),      # mixed: rank head, window middle, in-task finish
+        (100000, 0),   # all-local: switch on round 1
+    ],
+)
+def test_mondrian_local_finish_equals_distributed(spark, threshold, rank_rows):
+    """r05 switches: local-finish (local_threshold) and head-parallel
+    split (rank_head_rows) in every combination that selects a distinct
+    code path must produce IDENTICAL (group_id, member-order) partitions
+    — all compared to the numpy oracle so a shared bug can't
+    self-confirm."""
     n_rows, seed, K = 600, 7, 8
     df = generate_legacy_dataset(n_rows, seed=seed)
     series = series_matrix(df)
     parts_oracle = _mondrian(series, list(range(n_rows)), K)
     got = mondrian_partition(
         _to_spark(spark, series.astype(float)), k=K, t=8,
-        local_threshold=threshold,
+        local_threshold=threshold, rank_head_rows=rank_rows,
     )
     rows = got.select("original_index", "group_id", "pos").collect()
     by_gid: dict[int, list] = {}
@@ -104,4 +112,5 @@ def test_mondrian_local_finish_equals_distributed(spark, threshold):
     assert len(by_gid) == len(parts_oracle)
     for gid, members in enumerate(parts_oracle, start=1):
         got_members = [i for _, i in sorted(by_gid[gid])]
-        assert got_members == members, f"group {gid} mismatch (thr={threshold})"
+        assert got_members == members, (
+            f"group {gid} mismatch (thr={threshold}, rr={rank_rows})")
