@@ -67,3 +67,62 @@ def test_flagship_identical_across_deployment_modes():
     multi = _run("local-cluster[2,2,2048]")
     assert multi == single
     assert multi["n"] > 0 and multi["groups"] >= 1
+
+
+_NAIVE_JOB = r"""
+import json, sys
+from pyspark.sql import functions as F
+from kapra_timeseries_anonymization_spark.session import build_session
+from kapra_timeseries_anonymization_spark.operators.naive import naive_anonymize
+
+spark = build_session("lc-naive-test", master=sys.argv[1])
+# deterministic partition-independent synth (same scheme as
+# tools/scale_run.py); rank_head_rows=1 forces the r05 head-rank path
+# so its range exchange + broadcast offsets cross executor JVMs;
+# local_threshold=64 exercises the in-task local-finish applyInPandas
+# on real (non-driver) python workers.
+src = spark.range(3000).select(
+    F.col("id").alias("original_index"),
+    F.array(*[
+        F.pmod(F.xxhash64("id", F.lit(i)), F.lit(50)).cast("double")
+        for i in range(8)
+    ]).alias("values"),
+)
+res = naive_anonymize(src, K=8, P=2, max_level=10, t=8,
+                      local_threshold=64, rank_head_rows=1)
+rows = sorted(
+    (r["original_index"], r["group_id"]) for r in res.records.collect()
+)
+print("RESULT " + json.dumps({
+    "n": len(rows),
+    "groups": res.n_groups,
+    "avg_vl": round(res.avg_vl, 6),
+    "avg_pl": round(res.avg_pl, 6),
+    "rows": rows,
+}))
+spark.stop()
+"""
+
+
+def _run_naive(master: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _NAIVE_JOB, master],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, out.stdout[-2000:]
+    return json.loads(line[-1][len("RESULT "):])
+
+
+def test_naive_r05_paths_identical_across_deployment_modes():
+    """The r05 Mondrian paths (head-rank range exchange, in-task
+    local-finish applyInPandas, per-round eager localCheckpoints) on
+    real separate executor JVMs must match single-JVM output exactly."""
+    single = _run_naive("local[4]")
+    multi = _run_naive("local-cluster[2,2,2048]")
+    assert multi == single
+    assert multi["n"] == 3000 and multi["groups"] >= 1
