@@ -294,9 +294,11 @@ def mondrian_partition(
             cur.join(dec.select("pid"), "pid", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # ci is consumed into _kv immediately — dropped so the rank
+        # path's checkpointed copy doesn't carry it
         live = cur.join(dec, "pid").withColumn(
             "_kv", F.element_at("values", F.col("ci") + 1)
-        )
+        ).drop("ci")
         split_cols = [
             "original_index",
             "values",
