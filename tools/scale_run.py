@@ -67,7 +67,16 @@ def main() -> None:
         f"scale-{args.pipeline}",
         master=args.master or f"local[{args.cpus}]",
         extra_conf={
-            "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch -Xms"
+            # No AlwaysPreTouch: pre-touching pins the full -Xmx resident
+            # immediately, which starves the Arrow Python workers of host
+            # memory at 100M scale (observed: kernel OOM-killed workers
+            # under an 88g pre-touched heap).  GCLockerRetryAllocationCount
+            # raises JDK-17 G1's default retry bound (2): tasks allocating
+            # ~8 MB sort/codec buffers while JNI critical sections hold the
+            # GCLocker otherwise die with a spurious "Java heap space"
+            # despite free heap (observed at stage 31 of the 100M run).
+            "spark.driver.extraJavaOptions": "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=128 -Xms"
             + os.environ["SPARK_DRIVER_MEM"],
             # iterative pipelines leave broadcast/checkpoint carcasses that
             # only the GC-driven ContextCleaner reclaims; at 20+ rounds a
