@@ -126,3 +126,80 @@ def test_naive_r05_paths_identical_across_deployment_modes():
     multi = _run_naive("local-cluster[2,2,2048]")
     assert multi == single
     assert multi["n"] == 3000 and multi["groups"] >= 1
+
+
+_RESUME_JOB = r"""
+import json, sys
+from pyspark.sql import functions as F
+from kapra_timeseries_anonymization_spark.session import build_session
+from kapra_timeseries_anonymization_spark.plans.lineage import (
+    materialize_cascade, read_lineage, read_tier)
+
+spark = build_session("lc-resume-test", master=sys.argv[1])
+events = spark.read.parquet(sys.argv[2] + "/events.parquet")
+base = sys.argv[3]
+
+# split the input at the median day: run-0 sees only the early days
+# (a mid-ingest crash analogue), run-1 resumes over the full input
+days = sorted(r[0] for r in
+              events.select(F.to_date("ts").cast("string")).distinct()
+              .collect())
+cutoff = days[len(days) // 2]
+early = events.filter(F.to_date("ts").cast("string") < cutoff)
+
+counts_a = materialize_cascade(
+    spark, early, base, ["event_type"], "ts", "value", run_id="run-0")
+counts_b = materialize_cascade(
+    spark, events, base, ["event_type"], "ts", "value", run_id="run-1")
+
+lineage = sorted(
+    (r["tier"], r["partition_key"], r["row_count"],
+     round(r["metric_sum"], 6), r["run_id"])
+    for r in read_lineage(spark, base).collect()
+)
+tier_1d = sorted(
+    (r["event_type"], str(r["bucket"]), r["n"], round(r["sum_value"], 6),
+     round(r["min_value"], 6), round(r["max_value"], 6))
+    for r in read_tier(spark, base, "1d").collect()
+)
+print("RESULT " + json.dumps({
+    "counts_a": counts_a, "counts_b": counts_b,
+    "lineage": lineage, "tier_1d": tier_1d,
+}))
+spark.stop()
+"""
+
+
+def _run_resume(master: str, base: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _RESUME_JOB, master, SF_DIR, base],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, out.stdout[-2000:]
+    return json.loads(line[-1][len("RESULT "):])
+
+
+def test_lineage_resume_identical_across_deployment_modes(tmp_path):
+    """north_rule: "resumable from checkpoint with per-partition lineage
+    + metrics ... on a multi-executor cluster". A mid-ingest-crash
+    analogue (run-0 over the early half of the days, run-1 resuming over
+    the full input) must behave identically on real separate executor
+    JVMs: same partitions written per run (dynamic partition overwrite +
+    broadcast anti-join against the lineage log crossing block
+    managers), same lineage rows (watermarks/row counts/metric
+    accumulators computed in executor processes), same final 1d tier."""
+    single = _run_resume("local[4]", str(tmp_path / "single"))
+    multi = _run_resume("local-cluster[2,2,2048]", str(tmp_path / "multi"))
+    assert multi == single
+    # the resume actually resumed: run-1 skipped every run-0 partition
+    runs = {}
+    for tier, pkey, *_rest, run_id in multi["lineage"]:
+        runs.setdefault(run_id, set()).add((tier, pkey))
+    assert runs["run-0"] and runs["run-1"]
+    assert not (runs["run-0"] & runs["run-1"])
+    assert multi["counts_b"]["1m"] > 0 and multi["tier_1d"]
