@@ -203,3 +203,74 @@ def test_lineage_resume_identical_across_deployment_modes(tmp_path):
     assert runs["run-0"] and runs["run-1"]
     assert not (runs["run-0"] & runs["run-1"])
     assert multi["counts_b"]["1m"] > 0 and multi["tier_1d"]
+
+
+_STREAM_JOB = r"""
+import json, sys
+from pyspark.sql import functions as F
+from kapra_timeseries_anonymization_spark.session import build_session
+from kapra_timeseries_anonymization_spark.sources.transcripts import (
+    synth_transcripts)
+from kapra_timeseries_anonymization_spark.streaming.ingest import (
+    run_stream_to_tier)
+
+spark = build_session("lc-stream-test", master=sys.argv[1])
+base = sys.argv[2]
+src, out, ckpt = base + "/src", base + "/out", base + "/ckpt"
+
+t = synth_transcripts(spark, n_convs=40, mean_turns=20)
+closer = spark.createDataFrame(
+    [("c_closer", 0, "user", "end", "", "2024-02-01 00:00:00")],
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts_s string",
+).select("conv_id", "turn_idx", "role", "text", "tool",
+         F.col("ts_s").cast("timestamp").alias("ts"))
+t.unionByName(closer).write.parquet(src)
+
+run_stream_to_tier(spark, src, out, ckpt)
+n_first = spark.read.parquet(out).count()
+# restart against the same checkpoint: exactly-once => no new rows
+run_stream_to_tier(spark, src, out, ckpt)
+all_rows = spark.read.parquet(out).collect()
+rows = sorted(
+    (r["conv_id"], str(r["bucket"]), r["n"], r["sum_value"],
+     r["min_value"], r["max_value"])
+    for r in all_rows if r["conv_id"] != "c_closer"
+)
+print("RESULT " + json.dumps({
+    "n_first": n_first,
+    "no_new_rows": len(all_rows) == n_first,
+    # append mode: the closer's own window sits above the watermark and
+    # must NOT be emitted — record it so both modes must agree.
+    "closer_emitted": any(r["conv_id"] == "c_closer" for r in all_rows),
+    "rows": rows,
+}))
+spark.stop()
+"""
+
+
+def _run_stream(master: str, base: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _STREAM_JOB, master, base],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert line, out.stdout[-2000:]
+    return json.loads(line[-1][len("RESULT "):])
+
+
+def test_streaming_tier_identical_across_deployment_modes(tmp_path):
+    """The streaming 1m tier (watermarked windowed agg + streaming
+    checkpoint, availableNow) on real separate executor JVMs: the HDFS-
+    backed state store partitions and the exactly-once restart live in
+    executor processes here, not the driver JVM. Output rows and the
+    no-new-rows-on-restart property must match single-JVM exactly."""
+    single = _run_stream("local[4]", str(tmp_path / "single"))
+    multi = _run_stream("local-cluster[2,2,2048]", str(tmp_path / "multi"))
+    assert multi == single
+    assert multi["rows"] and multi["no_new_rows"] is True
+    assert multi["closer_emitted"] is False
